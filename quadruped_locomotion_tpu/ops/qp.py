@@ -1,0 +1,234 @@
+"""Batched dense QP solver for TPU (fixed-iteration primal-dual IPM).
+
+TPU-native replacement for the reference's QP stack:
+
+* ``quadprogpp::solve_quadprog`` — Goldfarb–Idnani dual active-set
+  (``qp_solver/include/qp_solver/QuadProg++.h:69``),
+* OOQP + MA27 interior point used at runtime by the contact-force
+  distribution (``balance_controller/src/contact_force_distribution/
+  ContactForceDistribution.cpp:490``).
+
+Those solvers iterate data-dependently (active-set pivots / adaptive
+termination), which XLA cannot batch. Here we solve
+
+    min ½ xᵀG x + gᵀx   s.t.   C x = c,   D x ≥ d
+
+with a *fixed-iteration* Mehrotra predictor–corrector interior-point
+method: every instance in a batch runs the same static program (one
+Cholesky of an n×n Schur matrix + two triangular solve pairs per
+iteration), so thousands of QPs vmap/shard onto the MXU/VPU with zero
+divergence. Steps collapse to ~0 once converged, so extra iterations are
+numerically harmless; a `done` freeze keeps converged iterates bit-stable.
+
+Disabled rows (for masked variable-size problems, e.g. 2-leg stance in a
+4-leg layout): zero the row of D and set d ≤ -1; the row is then always
+strictly satisfied and its multiplier decays to ~0.
+
+Shapes are static: G (n,n), g (n,), D (mi,n), d (mi,), optional C (me,n),
+c (me,). Batch with jax.vmap.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QpSolution(NamedTuple):
+    x: jax.Array  # (n,) primal solution
+    z: jax.Array  # (mi,) inequality multipliers
+    y: jax.Array  # (me,) equality multipliers (zeros if no equalities)
+    s: jax.Array  # (mi,) slacks Dx - d
+    iterations: jax.Array  # scalar int: iterations until convergence
+    kkt_error: jax.Array  # scalar: final max KKT residual
+
+
+def _chol_solve(chol, b):
+    """Solve A x = b given chol = cholesky(A, lower). b: (..., n) or (n, k)."""
+    y = jax.scipy.linalg.solve_triangular(chol, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def solve_qp(
+    G: jax.Array,
+    g: jax.Array,
+    D: jax.Array,
+    d: jax.Array,
+    C: jax.Array | None = None,
+    c: jax.Array | None = None,
+    iters: int = 25,
+    tol: float | None = None,
+) -> QpSolution:
+    """Solve one QP instance (vmap over leading axes for batches)."""
+    dtype = G.dtype
+    n = G.shape[-1]
+    mi = D.shape[-2]
+    has_eq = C is not None
+    me = C.shape[-2] if has_eq else 0
+
+    if tol is None:
+        tol = 1e-10 if dtype == jnp.float64 else 1e-6
+    s_floor = jnp.asarray(1e-14 if dtype == jnp.float64 else 1e-9, dtype)
+    eye_n = jnp.eye(n, dtype=dtype)
+    delta = jnp.asarray(1e-9 if dtype == jnp.float64 else 1e-6, dtype)
+    G_reg = G + delta * eye_n
+    # Residual normalization scales (relative convergence test).
+    scale_g = 1.0 + jnp.max(jnp.abs(g))
+    scale_d = 1.0 + jnp.max(jnp.abs(d))
+
+    # --- starting point (strictly feasible slacks/duals) -------------------
+    chol0 = jnp.linalg.cholesky(G_reg)
+    x0 = _chol_solve(chol0, -g)
+    if has_eq:
+        # project x0 onto Cx = c: x0 += G⁻¹Cᵀ (C G⁻¹ Cᵀ)⁻¹ (c - C x0)
+        GiCt = _chol_solve(chol0, C.T)
+        schur_e = C @ GiCt + delta * jnp.eye(me, dtype=dtype)
+        y0 = jnp.linalg.solve(schur_e, c - C @ x0)
+        x0 = x0 + GiCt @ y0
+    else:
+        y0 = jnp.zeros((0,), dtype)
+
+    s0 = jnp.maximum(D @ x0 - d, 1.0)
+    z0 = jnp.ones((mi,), dtype)
+
+    def body(carry, _):
+        x, s, z, y, done, it_count, kkt = carry
+
+        r_d = G @ x + g - D.T @ z
+        if has_eq:
+            r_d = r_d - C.T @ y
+            r_e = C @ x - c
+        r_p = D @ x - d - s
+        mu = jnp.dot(s, z) / mi
+
+        s_safe = jnp.maximum(s, s_floor)
+        zs = z / s_safe
+        M = G_reg + (D.T * zs) @ D
+        chol = jnp.linalg.cholesky(M)
+
+        def kkt_step(r_c):
+            """Solve the reduced Newton system for a given centering rhs."""
+            rhs = -r_d - D.T @ ((r_c + z * r_p) / s_safe)
+            if has_eq:
+                MiCt = _chol_solve(chol, C.T)
+                Mirhs = _chol_solve(chol, rhs)
+                schur = C @ MiCt + delta * jnp.eye(me, dtype=dtype)
+                dy = jnp.linalg.solve(schur, -(C @ Mirhs) - r_e)
+                dx = Mirhs + MiCt @ dy
+            else:
+                dy = y
+                dx = _chol_solve(chol, rhs)
+            ds = D @ dx + r_p
+            dz = -(r_c + z * ds) / s_safe
+            return dx, ds, dz, dy
+
+        def step_len(v, dv):
+            """Fraction-to-boundary: max α ∈ (0,1] with v + α dv ≥ (1-τ) v."""
+            ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+            return jnp.minimum(1.0, 0.995 * jnp.min(ratio))
+
+        # Predictor (affine scaling).
+        r_c_aff = s * z
+        dx_a, ds_a, dz_a, _ = kkt_step(r_c_aff)
+        alpha_p = step_len(s, ds_a)
+        alpha_d = step_len(z, dz_a)
+        mu_aff = jnp.dot(s + alpha_p * ds_a, z + alpha_d * dz_a) / mi
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+
+        # Corrector with Mehrotra second-order term.
+        r_c = s * z + ds_a * dz_a - sigma * mu
+        dx, ds, dz, dy = kkt_step(r_c)
+        alpha = jnp.minimum(step_len(s, ds), step_len(z, dz))
+
+        x_new = x + alpha * dx
+        s_new = s + alpha * ds
+        z_new = z + alpha * dz
+        y_new = y + alpha * dy if has_eq else y
+
+        kkt_new = jnp.maximum(
+            jnp.max(jnp.abs(r_d)) / scale_g,
+            jnp.maximum(jnp.max(jnp.abs(r_p)) / scale_d, mu / scale_g),
+        )
+        if has_eq:
+            kkt_new = jnp.maximum(kkt_new, jnp.max(jnp.abs(r_e)) / scale_d)
+
+        # Freeze converged instances (bit-stable, avoids the f32 endgame
+        # blowup when z/s of active constraints diverges), and freeze on
+        # any non-finite update (keeps the last good iterate).
+        bad = jnp.logical_not(
+            jnp.isfinite(jnp.sum(x_new) + jnp.sum(s_new) + jnp.sum(z_new))
+        )
+        newly_done = jnp.logical_or(kkt_new < tol, bad)
+        keep = jnp.logical_not(jnp.logical_or(done, bad))
+        out = (
+            jnp.where(keep, x_new, x),
+            jnp.where(keep, s_new, s),
+            jnp.where(keep, z_new, z),
+            jnp.where(keep, y_new, y) if has_eq else y,
+            jnp.logical_or(done, newly_done),
+            it_count + jnp.logical_not(done).astype(jnp.int32),
+            jnp.where(keep, kkt_new, kkt),
+        )
+        return out, None
+
+    init = (
+        x0,
+        s0,
+        z0,
+        y0,
+        jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(jnp.inf, dtype),
+    )
+    (x, s, z, y, _, it_count, kkt), _ = jax.lax.scan(
+        body, init, None, length=iters
+    )
+    return QpSolution(x=x, z=z, y=y, s=s, iterations=it_count, kkt_error=kkt)
+
+
+def solve_weighted_ls_qp(
+    A: jax.Array,
+    S: jax.Array,
+    b: jax.Array,
+    W: jax.Array,
+    D: jax.Array,
+    d: jax.Array,
+    C: jax.Array | None = None,
+    c: jax.Array | None = None,
+    iters: int = 25,
+) -> QpSolution:
+    """OOQP-formulation front end:  min (Ax−b)ᵀS(Ax−b) + xᵀWx
+    s.t. Cx = c, Dx ≥ d.
+
+    Mirrors ``ooqpei::QuadraticProblemFormulation::solve`` as called by
+    ``ContactForceDistribution::solveOptimization``
+    (ContactForceDistribution.cpp:490), with G = 2AᵀSA + W,
+    g = −2AᵀSb (documented in-code at :400-434).
+    S and W are given as diagonal vectors.
+    """
+    SA = A * S[:, None]
+    G = 2.0 * A.T @ SA + jnp.diag(W)
+    g = -2.0 * SA.T @ b
+    return solve_qp(G, g, D, d, C=C, c=c, iters=iters)
+
+
+def kkt_residuals(G, g, D, d, sol: QpSolution, C=None, c=None):
+    """Diagnostic KKT residuals (stationarity, feasibility, complementarity)."""
+    stat = G @ sol.x + g - D.T @ sol.z
+    if C is not None:
+        stat = stat - C.T @ sol.y
+    prim = jnp.minimum(D @ sol.x - d, 0.0)
+    comp = sol.z * (D @ sol.x - d)
+    out = {
+        "stationarity": jnp.max(jnp.abs(stat)),
+        "primal": jnp.max(jnp.abs(prim)),
+        "complementarity": jnp.max(jnp.abs(comp)),
+        "dual": jnp.max(jnp.maximum(-sol.z, 0.0)),
+    }
+    if C is not None:
+        out["equality"] = jnp.max(jnp.abs(C @ sol.x - c))
+    return out
