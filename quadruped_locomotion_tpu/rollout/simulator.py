@@ -1,0 +1,168 @@
+"""Batched rigid-body quadruped simulator (the Gazebo stand-in).
+
+The reference closes its loop through Gazebo
+(``balance_controller/src/ros_controller/gazebo_state_hardware_interface.cpp``)
+— a CPU physics process. The TPU-native rollout needs an on-device plant
+so that thousands of scenarios integrate inside one ``lax.scan`` without
+host round-trips.
+
+Plant model (the classic massless-leg quadruped abstraction):
+
+* the trunk is a 6-DoF rigid body (lumped mass/inertia from the URDF);
+* stance feet are pinned to the ground; stance joint torques map through
+  the leg Jacobian to ground-reaction forces on the trunk
+  (f = J⁻ᵀ(τ − τ_g), the exact inverse of the controller's torque map) —
+  the controller is only "right" if its torques produce the right wrench
+  through the same kinematics it planned with;
+* swing legs integrate full 3-DoF articulated dynamics
+  (M q̈ + C q̇ + G = τ) in the hip frame, decoupled from trunk motion;
+* contact state (support mask) is commanded externally (gait layer /
+  contact FSM), touchdown detection exposed via foot heights.
+
+Semi-implicit Euler at ``dt`` (default 2.5 ms = the reference's 400 Hz
+real-robot loop, balance_controller_manager.cpp:47-58).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..model.dynamics import gravity_torques, leg_forward_dynamics
+from ..model.kinematics import (
+    forward_kinematics,
+    inverse_kinematics,
+    jacobians,
+)
+from ..types import GRAVITY, BaseState, RobotModel, RobotState
+from ..utils.rotations import quat_exp, quat_inv_rotate, quat_mul, quat_normalize, quat_rotate
+
+
+@struct.dataclass
+class SimState:
+    robot: RobotState
+    feet_world: jax.Array  # (4,3) foot positions in world frame
+    time: jax.Array  # scalar
+
+
+def default_stance_state(
+    model: RobotModel, height: float = 0.4, dtype=jnp.float32
+) -> SimState:
+    """All-stance state with feet below the kinematic hips."""
+    feet_base = model.hip_pos.astype(dtype) - jnp.array(
+        [0.0, 0.0, height], dtype
+    )
+    q = inverse_kinematics(model, feet_base)
+    base = BaseState.identity(dtype).replace(
+        position=jnp.array([0.0, 0.0, height], dtype)
+    )
+    robot = RobotState.neutral(dtype).replace(base=base, q=q)
+    feet_world = base.position + quat_rotate(base.quaternion[None], feet_base)
+    return SimState(
+        robot=robot, feet_world=feet_world, time=jnp.asarray(0.0, dtype)
+    )
+
+
+def step(
+    model: RobotModel,
+    sim: SimState,
+    tau: jax.Array,  # (4,3) commanded joint torques
+    dt: float,
+    support: jax.Array | None = None,  # (4,) bool: commanded contact state
+) -> SimState:
+    """One physics step. Fully traceable; vmap over a batch of SimStates."""
+    robot = sim.robot
+    dtype = tau.dtype
+    if support is None:
+        support = robot.support
+    base = robot.base
+    g_world = jnp.array([0.0, 0.0, -GRAVITY], dtype)
+    g_base = quat_inv_rotate(base.quaternion, g_world)
+
+    feet_base = quat_inv_rotate(
+        base.quaternion[None], sim.feet_world - base.position
+    )
+    j = jacobians(model, robot.q)
+    tau_g = gravity_torques(model, robot.q, g_base)
+
+    # --- stance path: torques → ground reaction on the trunk ---------------
+    # Controller maps τ = Jᵀ f_contact + τ_g; invert per leg.
+    f_contact = jax.vmap(lambda jj, t: jnp.linalg.solve(jj.T, t))(
+        j, tau - tau_g
+    )  # (4,3) force leg pushes on ground, base frame
+    grf_base = -f_contact  # ground reaction on the robot
+    m = support.astype(dtype)[:, None]
+    total_force_world = (
+        quat_rotate(base.quaternion, jnp.sum(grf_base * m, axis=0))
+        + model.total_mass * g_world
+    )
+    total_torque_base = jnp.sum(jnp.cross(feet_base, grf_base) * m, axis=0)
+
+    # --- trunk integration (semi-implicit Euler) ----------------------------
+    inertia = model.base_inertia.astype(dtype)
+    ang_mom_rate = total_torque_base - jnp.cross(
+        base.angular_velocity, inertia @ base.angular_velocity
+    )
+    angvel_new = base.angular_velocity + dt * jnp.linalg.solve(
+        inertia, ang_mom_rate
+    )
+    linvel_new = base.linear_velocity + dt * total_force_world / model.total_mass
+    pos_new = base.position + dt * linvel_new
+    quat_new = quat_normalize(
+        quat_mul(base.quaternion, quat_exp(dt * angvel_new))
+    )
+    base_new = BaseState(
+        position=pos_new,
+        quaternion=quat_new,
+        linear_velocity=linvel_new,
+        angular_velocity=angvel_new,
+    )
+
+    # --- stance legs: joints follow the pinned feet -------------------------
+    feet_base_new = quat_inv_rotate(
+        quat_new[None], sim.feet_world - pos_new
+    )
+    q_stance = inverse_kinematics(model, feet_base_new)
+    # foot velocity in base frame for a world-fixed foot:
+    v_feet_base = -jnp.cross(
+        jnp.broadcast_to(angvel_new, (4, 3)), feet_base_new
+    ) - quat_inv_rotate(quat_new[None], jnp.broadcast_to(linvel_new, (4, 3)))
+    j_new = jacobians(model, q_stance)
+    qd_stance = jax.vmap(jnp.linalg.solve)(j_new, v_feet_base)
+
+    # --- swing legs: articulated 3-DoF dynamics -----------------------------
+    qdd_swing = jax.vmap(
+        lambda ql, qdl, tl, i: leg_forward_dynamics(
+            model, ql, qdl, tl, g_base, i
+        )
+    )(robot.q, robot.qd, tau, jnp.arange(4))
+    qd_swing = robot.qd + dt * qdd_swing
+    q_swing = robot.q + dt * qd_swing
+
+    sup = support[:, None]
+    q_new = jnp.where(sup, q_stance, q_swing)
+    qd_new = jnp.where(sup, qd_stance, qd_swing)
+
+    # swing feet move with the leg; stance feet stay pinned
+    feet_base_fk = forward_kinematics(model, q_new)
+    feet_world_new = jnp.where(
+        sup,
+        sim.feet_world,
+        pos_new + quat_rotate(quat_new[None], feet_base_fk),
+    )
+
+    robot_new = robot.replace(
+        base=base_new, q=q_new, qd=qd_new, tau=tau, support=support
+    )
+    return SimState(
+        robot=robot_new, feet_world=feet_world_new, time=sim.time + dt
+    )
+
+
+def foot_heights(sim: SimState, terrain_height_fn=None) -> jax.Array:
+    """Clearance of each foot above the terrain (flat ground by default)."""
+    z = sim.feet_world[:, 2]
+    if terrain_height_fn is None:
+        return z
+    return z - terrain_height_fn(sim.feet_world[:, :2])

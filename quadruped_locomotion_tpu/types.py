@@ -67,6 +67,9 @@ class RobotModel:
     link_com: jax.Array  # (3,3) CoM position in each link (=joint) frame
     link_inertia: jax.Array  # (3,3,3) rotational inertia about link CoM
     torque_limit: jax.Array  # scalar, ±300 N·m (ros_balance_controller.cpp:451)
+    # Lumped rigid-body inertia for the rollout simulator: URDF base_link
+    # inertia + leg point masses at the hip offsets.
+    base_inertia: jax.Array  # (3,3)
 
     @classmethod
     def simpledog(cls, dtype=jnp.float32) -> "RobotModel":
@@ -116,6 +119,14 @@ class RobotModel:
                 jnp.diag(jnp.array([0.00053032, 0.0091429, 0.009338])),
             ]
         )
+        # base_link inertia from simpledog.urdf + 6 kg point masses at the
+        # four virtual hips (parallel-axis).
+        base_inertia = jnp.diag(jnp.array([0.74932, 2.3017, 2.9675]))
+        for hx, hy in [(0.42, 0.075), (0.42, -0.075), (-0.42, -0.075), (-0.42, 0.075)]:
+            r = jnp.array([hx, hy, 0.0])
+            base_inertia = base_inertia + 6.0 * (
+                jnp.dot(r, r) * jnp.eye(3) - jnp.outer(r, r)
+            )
         return cls(
             hip_pos=f(hip_pos),
             hip_rot=f(hip_rot),
@@ -131,6 +142,7 @@ class RobotModel:
             link_com=f(link_com),
             link_inertia=f(link_inertia),
             torque_limit=f(300.0),
+            base_inertia=f(base_inertia),
         )
 
     @property

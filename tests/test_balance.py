@@ -1,0 +1,153 @@
+"""Standing-balance tests: VMC + force-distribution QP + torque map +
+closed loop through the rigid-body simulator (BASELINE config 2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quadruped_locomotion_tpu.types import (
+    GRAVITY,
+    BaseTarget,
+    CfdParams,
+    RobotModel,
+    RobotState,
+    VmcGains,
+)
+from quadruped_locomotion_tpu.control.balance_controller import balance_update
+from quadruped_locomotion_tpu.control.vmc import compute_virtual_wrench
+from quadruped_locomotion_tpu.control import force_distribution as fd
+from quadruped_locomotion_tpu.rollout import simulator as simlib
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = RobotModel.simpledog()
+    gains = VmcGains.gazebo_defaults()
+    cfd = CfdParams.defaults()
+    sim = simlib.default_stance_state(model, height=0.4)
+    target = BaseTarget.from_base(sim.robot.base)
+    return model, gains, cfd, sim, target
+
+
+def test_virtual_wrench_at_rest_is_gravity_comp(setup):
+    model, gains, cfd, sim, target = setup
+    vf, vt = compute_virtual_wrench(model, gains, sim.robot, target)
+    weight = float(model.total_mass) * GRAVITY  # 51 kg model
+    np.testing.assert_allclose(np.asarray(vf), [0, 0, weight], atol=1e-2)
+    np.testing.assert_allclose(np.asarray(vt), [0, 0, 0], atol=1e-2)
+
+
+def test_force_distribution_statics(setup):
+    model, gains, cfd, sim, target = setup
+    vf, vt = compute_virtual_wrench(model, gains, sim.robot, target)
+    res = fd.distribute(model, cfd, sim.robot, vf, vt, iters=25)
+    # realized wrench matches requested wrench
+    wrench = np.asarray(res.virtual_wrench_realized)
+    np.testing.assert_allclose(wrench[:3], np.asarray(vf), atol=0.5)
+    np.testing.assert_allclose(wrench[3:], np.asarray(vt), atol=0.5)
+    grf = np.asarray(res.ground_reaction)
+    # all normal forces above the minimum, pointing up
+    assert np.all(grf[:, 2] >= float(cfd.min_normal_force) - 1e-3)
+    # symmetric stance → near-equal load sharing
+    np.testing.assert_allclose(
+        grf[:, 2], np.full(4, grf[:, 2].mean()), rtol=0.02
+    )
+    # contact force (leg on ground) points down
+    assert np.all(np.asarray(res.contact_forces)[:, 2] < 0)
+
+
+def test_force_distribution_friction_constraints(setup):
+    model, gains, cfd, sim, target = setup
+    # hard lateral push request
+    target2 = target.replace(
+        position=target.position + jnp.array([0.0, 0.3, 0.0])
+    )
+    vf, vt = compute_virtual_wrench(model, gains, sim.robot, target2)
+    res = fd.distribute(model, cfd, sim.robot, vf, vt, iters=25)
+    grf = np.asarray(res.ground_reaction)
+    mu = float(cfd.friction_coeff)
+    # friction pyramid |f_t| <= mu f_n in both tangents (flat ground)
+    assert np.all(np.abs(grf[:, 0]) <= mu * grf[:, 2] + 1e-2)
+    assert np.all(np.abs(grf[:, 1]) <= mu * grf[:, 2] + 1e-2)
+    assert np.all(grf[:, 2] >= float(cfd.min_normal_force) - 1e-3)
+
+
+def test_three_leg_stance(setup):
+    model, gains, cfd, sim, target = setup
+    state3 = sim.robot.replace(
+        support=jnp.array([True, True, True, False])
+    )
+    vf, vt = compute_virtual_wrench(model, gains, state3, target)
+    res = fd.distribute(model, cfd, state3, vf, vt, iters=25)
+    grf = np.asarray(res.ground_reaction)
+    np.testing.assert_allclose(grf[3], 0.0, atol=1e-4)  # swing leg: no force
+    np.testing.assert_allclose(
+        grf[:, 2].sum(), float(model.total_mass) * GRAVITY, atol=1.0
+    )
+
+
+def test_stance_torque_map_consistency(setup):
+    """τ = Jᵀf + τ_g must invert to the same contact force (sim consistency)."""
+    model, gains, cfd, sim, target = setup
+    tau, diag = balance_update(model, gains, cfd, sim.robot, target)
+    assert np.all(np.abs(np.asarray(tau)) <= 300.0)
+    from quadruped_locomotion_tpu.model.kinematics import jacobians
+    from quadruped_locomotion_tpu.model.dynamics import gravity_torques
+    from quadruped_locomotion_tpu.utils.rotations import quat_inv_rotate
+
+    g_base = quat_inv_rotate(
+        sim.robot.base.quaternion, jnp.array([0.0, 0.0, -GRAVITY])
+    )
+    j = jacobians(model, sim.robot.q)
+    tau_g = gravity_torques(model, sim.robot.q, g_base)
+    f_rec = jax.vmap(lambda jj, t: jnp.linalg.solve(jj.T, t))(j, tau - tau_g)
+    np.testing.assert_allclose(
+        np.asarray(f_rec),
+        np.asarray(diag.distribution.contact_forces),
+        atol=1e-2,
+    )
+
+
+def test_closed_loop_standing_recovery(setup):
+    """Perturbed base recovers to target pose through the full loop at 400 Hz."""
+    model, gains, cfd, sim, target = setup
+    from quadruped_locomotion_tpu.utils.rotations import quat_from_rpy
+
+    # perturb: 4 cm down, 1 cm lateral, 3° roll, small velocity
+    base0 = sim.robot.base.replace(
+        position=jnp.array([0.0, 0.01, 0.36]),
+        quaternion=quat_from_rpy(0.05, -0.03, 0.0),
+        linear_velocity=jnp.array([0.02, -0.02, 0.0]),
+    )
+    # joints consistent with pinned feet
+    from quadruped_locomotion_tpu.model.kinematics import inverse_kinematics
+    from quadruped_locomotion_tpu.utils.rotations import quat_inv_rotate
+
+    feet_base = quat_inv_rotate(
+        base0.quaternion[None], sim.feet_world - base0.position
+    )
+    q0 = inverse_kinematics(model, feet_base)
+    sim0 = sim.replace(robot=sim.robot.replace(base=base0, q=q0))
+
+    dt = 0.0025  # 400 Hz
+
+    def tick(s, _):
+        tau, _diag = balance_update(model, gains, cfd, s.robot, target, qp_iters=15)
+        s2 = simlib.step(model, s, tau, dt)
+        return s2, s2.robot.base.position
+
+    steps = 800  # 2 s
+    final, traj = jax.lax.scan(tick, sim0, None, length=steps)
+    pos = np.asarray(final.robot.base.position)
+    np.testing.assert_allclose(pos, [0.0, 0.0, 0.4], atol=5e-3)
+    rollpitch = np.asarray(final.robot.base.quaternion[1:3])
+    np.testing.assert_allclose(rollpitch, 0.0, atol=5e-3)
+    vel = np.asarray(final.robot.base.linear_velocity)
+    np.testing.assert_allclose(vel, 0.0, atol=1e-2)
+    # feet never moved
+    np.testing.assert_allclose(
+        np.asarray(final.feet_world), np.asarray(sim.feet_world), atol=1e-5
+    )
+    # no NaNs anywhere on the trajectory
+    assert np.all(np.isfinite(np.asarray(traj)))
