@@ -1,0 +1,125 @@
+"""Benchmark: batched 4-contact force-distribution QP solves/s/chip.
+
+North-star metric from BASELINE.md: >10,000 batched 4-contact QP
+solves/s/chip (the reference solves ONE such QP per 2.5 ms control tick
+via OOQP/MA27 on CPU → 400 solves/s equivalent; baseline target is the
+driver's 10k/s/chip bar).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Extra diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_SOLVES_PER_S = 10_000.0  # BASELINE.md north-star target
+
+
+def build_batch(batch: int):
+    """A batch of standing-balance QPs with varied wrenches/geometry."""
+    from quadruped_locomotion_tpu.types import (
+        BaseTarget,
+        CfdParams,
+        RobotModel,
+        VmcGains,
+    )
+    from quadruped_locomotion_tpu.control.vmc import compute_virtual_wrench
+    from quadruped_locomotion_tpu.control.force_distribution import build_qp
+    from quadruped_locomotion_tpu.rollout import simulator as simlib
+
+    model = RobotModel.simpledog()
+    gains = VmcGains.gazebo_defaults()
+    cfd = CfdParams.defaults()
+    sim = simlib.default_stance_state(model, height=0.4)
+    target = BaseTarget.from_base(sim.robot.base)
+
+    rng = np.random.default_rng(0)
+    pos_noise = jnp.asarray(
+        rng.uniform(-0.03, 0.03, size=(batch, 3)), jnp.float32
+    )
+
+    def make(noise):
+        st = sim.robot.replace(
+            base=sim.robot.base.replace(
+                position=sim.robot.base.position + noise
+            )
+        )
+        vf, vt = compute_virtual_wrench(model, gains, st, target)
+        return build_qp(model, cfd, st, vf, vt)
+
+    A, b, S, W, D, d = jax.jit(jax.vmap(make))(pos_noise)
+    return A, b, S, W, D, d
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    iters = 15
+    from quadruped_locomotion_tpu.ops import qp
+
+    dev = jax.devices()[0]
+    print(f"device: {dev} platform={dev.platform}", file=sys.stderr)
+
+    A, b, S, W, D, d = build_batch(batch)
+
+    @jax.jit
+    def solve_all(A, b, S, W, D, d):
+        return jax.vmap(
+            lambda *args: qp.solve_weighted_ls_qp(*args, iters=iters)
+        )(A, S, b, W, D, d)
+
+    # Warmup / compile.
+    sol = solve_all(A, b, S, W, D, d)
+    jax.block_until_ready(sol.x)
+
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        sol = solve_all(A, b, S, W, D, d)
+    jax.block_until_ready(sol.x)
+    t1 = time.perf_counter()
+
+    total_solves = batch * reps
+    solves_per_s = total_solves / (t1 - t0)
+    batch_ms = (t1 - t0) / reps * 1e3
+
+    # Sanity: KKT convergence + wrench tracking on the (feasible) median.
+    # A few instances request infeasible wrenches (e.g. net downward pull)
+    # where the friction/min-force constraints bind — there the optimal
+    # wrench error is legitimately large, so the max is not a health metric.
+    kkt = float(jnp.max(sol.kkt_error))
+    realized = jnp.einsum(
+        "bij,bj->bi", A, sol.x, precision=jax.lax.Precision.HIGHEST
+    )
+    wrench_err = jnp.max(jnp.abs(realized - b), axis=-1)
+    med_err = float(jnp.median(wrench_err))
+    print(
+        f"batch={batch} iters={iters} reps={reps} "
+        f"batch_time={batch_ms:.3f} ms max_kkt={kkt:.2e} "
+        f"median_wrench_err={med_err:.3e}",
+        file=sys.stderr,
+    )
+    if not np.isfinite(kkt) or kkt > 1.0 or med_err > 1.0:
+        print("WARNING: QP quality check failed", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "4-contact force-distribution QP solves/s/chip",
+                "value": round(solves_per_s, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

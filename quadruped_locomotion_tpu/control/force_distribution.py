@@ -71,12 +71,13 @@ def build_qp(
     W = jnp.full((12,), params.w_regularizer, dtype)
 
     # Surface normals and tangentials in base frame (:223-244, :272-326).
+    # The first tangential lies in the base XZ-plane (t1 = n × ŷ_base,
+    # :294) — anchored to the BODY, not the world: a world-anchored
+    # pyramid rotates against the body with yaw and destabilizes turning.
     n_base = quat_inv_rotate(
         state.base.quaternion[None, :], state.surface_normal
     )  # (4,3)
-    y_base = quat_inv_rotate(
-        state.base.quaternion, jnp.array([0.0, 1.0, 0.0], dtype)
-    )
+    y_base = jnp.array([0.0, 1.0, 0.0], dtype)
     t1 = jnp.cross(n_base, jnp.broadcast_to(y_base, (4, 3)))
     t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
     t2 = jnp.cross(n_base, t1)

@@ -40,7 +40,14 @@ def compute_virtual_wrench(
     # ≈ (target - actual) as a base-frame rotation vector.
     ori_err = -quat_log(quat_mul(quat_conj(target.quaternion), q_act))
     vel_err_world = target.linear_velocity - state.base.linear_velocity
-    angvel_err = target.angular_velocity - state.base.angular_velocity
+    # state.base.angular_velocity is BODY-frame (the integrator convention
+    # quat' = quat ⊗ exp(dt·ω)); the target twist is world-frame. Express
+    # the error in the base frame directly — rotating a body-frame vector
+    # by R⁻¹ again would mis-rotate the damping torque by the yaw angle.
+    angvel_err_base = (
+        quat_inv_rotate(q_act, target.angular_velocity)
+        - state.base.angular_velocity
+    )
 
     # --- gravity compensation (computeGravityCompensation) -----------------
     g_world = jnp.array([0.0, 0.0, -GRAVITY], dtype)
@@ -75,7 +82,7 @@ def compute_virtual_wrench(
     ff_ang = target.angular_velocity * zmask
     virtual_torque = (
         gains.kp_ang * ori_err
-        + quat_inv_rotate(q_act, gains.kd_ang * angvel_err)
+        + gains.kd_ang * angvel_err_base
         + quat_inv_rotate(q_act, gains.kff_ang * ff_ang)
         + grav_torque
     )

@@ -63,7 +63,17 @@ def solve_qp(
     iters: int = 25,
     tol: float | None = None,
 ) -> QpSolution:
-    """Solve one QP instance (vmap over leading axes for batches)."""
+    """Solve one QP instance (vmap over leading axes for batches).
+
+    All matmuls run at HIGHEST precision: TPU's default bf16 multiply
+    passes are catastrophic for IPM KKT systems (condition grows like
+    1/μ); true-f32 matmuls cost ~2× on the MXU and keep convergence.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _solve_qp_impl(G, g, D, d, C, c, iters, tol)
+
+
+def _solve_qp_impl(G, g, D, d, C, c, iters, tol) -> QpSolution:
     dtype = G.dtype
     n = G.shape[-1]
     mi = D.shape[-2]
@@ -210,9 +220,10 @@ def solve_weighted_ls_qp(
     g = −2AᵀSb (documented in-code at :400-434).
     S and W are given as diagonal vectors.
     """
-    SA = A * S[:, None]
-    G = 2.0 * A.T @ SA + jnp.diag(W)
-    g = -2.0 * SA.T @ b
+    with jax.default_matmul_precision("highest"):
+        SA = A * S[:, None]
+        G = 2.0 * A.T @ SA + jnp.diag(W)
+        g = -2.0 * SA.T @ b
     return solve_qp(G, g, D, d, C=C, c=c, iters=iters)
 
 

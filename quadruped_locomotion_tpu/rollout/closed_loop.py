@@ -1,0 +1,136 @@
+"""Closed-loop locomotion rollout: gait → control → physics in one scan.
+
+This is the TPU-native equivalent of the reference's whole process graph
+(SURVEY.md §3): the 100 Hz planner/gait threads
+(``action_server_test.cpp:100-203``) and the 400 Hz balance controller
+(``ros_balance_controller.cpp``) against Gazebo — collapsed into a
+two-rate ``lax.scan``: each planner tick (dt=0.01) runs the gait engine
+once and then ``CONTROL_SUBSTEPS`` control+physics steps (dt=0.0025,
+400 Hz), exactly mirroring how the reference controller consumes the
+latest ``/desired_robot_state`` between planner updates.
+
+Batch over scenarios with ``jax.vmap``; shard the batch with
+``parallel.mesh``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..control.contact_fsm import apply_swing_reflexes, contact_fsm
+from ..control.locomotion import ControllerParams, locomotion_update
+from ..gait import gait_generator as gg
+from ..gait.phase import GaitParams
+from ..types import RobotModel
+from . import simulator as simlib
+
+PLANNER_DT = 0.01  # 100 Hz (action_server_test.cpp:103-106, 124)
+CONTROL_SUBSTEPS = 4  # → 400 Hz control/physics (balance_controller_manager)
+CONTROL_DT = PLANNER_DT / CONTROL_SUBSTEPS
+
+
+@struct.dataclass
+class LocomotionState:
+    sim: simlib.SimState
+    gait: gg.GaitState
+
+
+@struct.dataclass
+class Command:
+    """≙ /cmd_vel (gait_generate_client.cpp:195-205)."""
+
+    linear_velocity: jax.Array  # (3,) world/footprint frame
+    yaw_rate: jax.Array  # scalar
+
+    @classmethod
+    def zero(cls, dtype=jnp.float32):
+        return cls(
+            linear_velocity=jnp.zeros(3, dtype),
+            yaw_rate=jnp.asarray(0.0, dtype),
+        )
+
+
+def init_locomotion(
+    model: RobotModel,
+    gait_params: GaitParams,
+    gait_type: int = 0,
+    height: float | None = None,
+) -> LocomotionState:
+    h = gait_params.height if height is None else height
+    sim = simlib.default_stance_state(model, height=h)
+    gait = gg.init_gait_state(gait_type, gait_params, sim.feet_world)
+    return LocomotionState(sim=sim, gait=gait)
+
+
+def planner_tick(
+    model: RobotModel,
+    params: ControllerParams,
+    gait_params: GaitParams,
+    ls: LocomotionState,
+    command: Command,
+    qp_iters: int = 15,
+):
+    """One 100 Hz planner tick + 4 control/physics substeps."""
+    gait2, support, (pos_w, vel_w, acc_w), target = gg.advance(
+        model,
+        ls.gait,
+        ls.sim.robot,
+        ls.sim.feet_world,
+        gait_params,
+        command.linear_velocity,
+        command.yaw_rate,
+        PLANNER_DT,
+    )
+
+    def ctrl(sim, _):
+        # Per-leg contact FSM: reconcile the gait's desired support with
+        # measured contact every control tick (≙ ros_balance_controller
+        # :233-380), then apply late-TD / bump reflexes to the swing refs.
+        contact = simlib.contact_sensor(sim)
+        fsm = contact_fsm(
+            support, contact, gait2.phase.swing_phase, gait_params.t_swing
+        )
+        pos_r, vel_r, acc_r = apply_swing_reflexes(
+            pos_w, vel_w, acc_w, sim.feet_world, fsm
+        )
+        state = sim.robot.replace(support=fsm.support)
+        tau, diag = locomotion_update(
+            model, params, state, target, pos_r, vel_r, acc_r,
+            qp_iters=qp_iters,
+        )
+        sim2 = simlib.step(model, sim, tau, CONTROL_DT, support=fsm.support)
+        return sim2, diag.distribution.qp_solution.kkt_error
+
+    sim_final, kkts = jax.lax.scan(
+        ctrl, ls.sim, None, length=CONTROL_SUBSTEPS
+    )
+    return LocomotionState(sim=sim_final, gait=gait2), jnp.max(kkts)
+
+
+def rollout(
+    model: RobotModel,
+    params: ControllerParams,
+    gait_params: GaitParams,
+    ls0: LocomotionState,
+    command: Command,
+    planner_steps: int,
+    qp_iters: int = 15,
+):
+    """Full closed-loop rollout. Returns (final state, per-tick telemetry)."""
+
+    def tick(ls, _):
+        ls2, kkt = planner_tick(
+            model, params, gait_params, ls, command, qp_iters=qp_iters
+        )
+        telemetry = {
+            "base_position": ls2.sim.robot.base.position,
+            "base_quaternion": ls2.sim.robot.base.quaternion,
+            "feet_world": ls2.sim.feet_world,
+            "support": ls2.gait.phase.support,
+            "qp_kkt": kkt,
+        }
+        return ls2, telemetry
+
+    return jax.lax.scan(tick, ls0, None, length=planner_steps)

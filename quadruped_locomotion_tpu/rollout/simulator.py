@@ -16,8 +16,12 @@ Plant model (the classic massless-leg quadruped abstraction):
   through the same kinematics it planned with;
 * swing legs integrate full 3-DoF articulated dynamics
   (M q̈ + C q̇ + G = τ) in the hip frame, decoupled from trunk motion;
-* contact state (support mask) is commanded externally (gait layer /
-  contact FSM), touchdown detection exposed via foot heights.
+* contact is UNILATERAL in position: a commanded-support leg is only
+  pinned once its foot actually touches the ground (pin z clamped to the
+  surface); a commanded-swing leg is never pinned. ``contact_sensor``
+  exposes measured touch states to the controller's contact FSM — the
+  same separation as Gazebo contact sensors feeding
+  ``RosBalanceController``'s FSM via ``sim_assiants/FootContacts``.
 
 Semi-implicit Euler at ``dt`` (default 2.5 ms = the reference's 400 Hz
 real-robot loop, balance_controller_manager.cpp:47-58).
@@ -29,7 +33,12 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..model.dynamics import gravity_torques, leg_forward_dynamics
+from ..model.dynamics import (
+    gravity_torques,
+    leg_forward_dynamics,
+    leg_inverse_dynamics,
+    leg_mass_matrix,
+)
 from ..model.kinematics import (
     forward_kinematics,
     inverse_kinematics,
@@ -64,18 +73,64 @@ def default_stance_state(
     )
 
 
+SWING_SUBSTEPS = 4
+CONTACT_TOL = 1e-3  # foot counts as touching within 1 mm of the surface
+
+
+def contact_sensor(
+    sim: SimState, ground_height: jax.Array | float = 0.0
+) -> jax.Array:
+    """(4,) bool measured foot contact (pinned legs always report touch)."""
+    gz = jnp.asarray(ground_height, sim.feet_world.dtype)
+    return sim.robot.support | (sim.feet_world[:, 2] <= gz + CONTACT_TOL)
+
+
+def _integrate_swing_legs(model, q, qd, tau, g_base, dt):
+    """Substepped semi-implicit integration of the 3-DoF leg dynamics."""
+    h = dt / SWING_SUBSTEPS
+    b = model.joint_damping
+    eye3 = jnp.eye(3, dtype=q.dtype)
+    legs = jnp.arange(4)
+
+    def substep(carry, _):
+        q, qd = carry
+
+        def per_leg(ql, qdl, tl, i):
+            bias = leg_inverse_dynamics(
+                model, ql, qdl, jnp.zeros_like(qdl), g_base, i
+            )
+            m = leg_mass_matrix(model, ql)
+            qd2 = jnp.linalg.solve(
+                m + h * b * eye3, m @ qdl + h * (tl - bias)
+            )
+            return ql + h * qd2, qd2
+
+        q2, qd2 = jax.vmap(per_leg)(q, qd, tau, legs)
+        return (q2, qd2), None
+
+    (q2, qd2), _ = jax.lax.scan(substep, (q, qd), None, length=SWING_SUBSTEPS)
+    return q2, qd2
+
+
 def step(
     model: RobotModel,
     sim: SimState,
     tau: jax.Array,  # (4,3) commanded joint torques
     dt: float,
     support: jax.Array | None = None,  # (4,) bool: commanded contact state
+    ground_height: jax.Array | float = 0.0,
 ) -> SimState:
     """One physics step. Fully traceable; vmap over a batch of SimStates."""
     robot = sim.robot
     dtype = tau.dtype
     if support is None:
         support = robot.support
+    # Unilateral pinning: a commanded-support leg carries load only once
+    # its foot actually touches (was pinned, or within tolerance of the
+    # surface). A leg commanded into swing is released unconditionally.
+    gz = jnp.asarray(ground_height, dtype)
+    touching = sim.feet_world[:, 2] <= gz + CONTACT_TOL
+    support = support & (robot.support | touching)
     base = robot.base
     g_world = jnp.array([0.0, 0.0, -GRAVITY], dtype)
     g_base = quat_inv_rotate(base.quaternion, g_world)
@@ -132,23 +187,26 @@ def step(
     qd_stance = jax.vmap(jnp.linalg.solve)(j_new, v_feet_base)
 
     # --- swing legs: articulated 3-DoF dynamics -----------------------------
-    qdd_swing = jax.vmap(
-        lambda ql, qdl, tl, i: leg_forward_dynamics(
-            model, ql, qdl, tl, g_base, i
-        )
-    )(robot.q, robot.qd, tau, jnp.arange(4))
-    qd_swing = robot.qd + dt * qdd_swing
-    q_swing = robot.q + dt * qd_swing
+    # Substep with zero-order-hold torque and *implicit* viscous joint
+    # damping: (M + h·b·I) q̇' = M q̇ + h·(τ − C q̇ − G). The implicit
+    # damping term is what Gazebo's ODE solver provides; without it the
+    # ideal leg rings at the control Nyquist frequency.
+    q_swing, qd_swing = _integrate_swing_legs(
+        model, robot.q, robot.qd, tau, g_base, dt
+    )
 
     sup = support[:, None]
     q_new = jnp.where(sup, q_stance, q_swing)
     qd_new = jnp.where(sup, qd_stance, qd_swing)
 
-    # swing feet move with the leg; stance feet stay pinned
+    # swing feet move with the leg; stance feet stay pinned at the surface
     feet_base_fk = forward_kinematics(model, q_new)
+    feet_pinned = sim.feet_world.at[:, 2].set(
+        jnp.maximum(sim.feet_world[:, 2], gz)
+    )
     feet_world_new = jnp.where(
         sup,
-        sim.feet_world,
+        feet_pinned,
         pos_new + quat_rotate(quat_new[None], feet_base_fk),
     )
 

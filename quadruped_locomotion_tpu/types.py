@@ -70,6 +70,11 @@ class RobotModel:
     # Lumped rigid-body inertia for the rollout simulator: URDF base_link
     # inertia + leg point masses at the hip offsets.
     base_inertia: jax.Array  # (3,3)
+    # Viscous joint damping for the swing-leg plant [N·m·s/rad]. The URDF
+    # declares none; Gazebo's implicit ODE solver supplies equivalent
+    # numerical damping — without it the ideal frictionless leg rings at
+    # the control Nyquist frequency.
+    joint_damping: jax.Array  # scalar
 
     @classmethod
     def simpledog(cls, dtype=jnp.float32) -> "RobotModel":
@@ -143,6 +148,7 @@ class RobotModel:
             link_inertia=f(link_inertia),
             torque_limit=f(300.0),
             base_inertia=f(base_inertia),
+            joint_damping=f(0.2),
         )
 
     @property
