@@ -134,12 +134,13 @@ def raibert_footholds(
     # proxy: footholds must sit under the leg's neutral vertical
     # (±0.175 lateral, = default_stance_state) or every stance leg
     # carries a permanent ~15° abduction and the support polygon loses
-    # half its width in roll.
-    gz = jnp.asarray(ground_height, dtype)
+    # half its width in roll. ``ground_height`` may be scalar or (4,)
+    # per-leg terrain heights.
+    gz = jnp.broadcast_to(jnp.asarray(ground_height, dtype), (4,))
     hips_world = base.position + quat_rotate(
         base.quaternion[None], model.hip_pos.astype(dtype)
     )
-    hips_world = hips_world * xy[None, :] + gz * (1 - xy)
+    hips_world = hips_world * xy[None, :] + gz[:, None] * (1 - xy)[None, :]
 
     displace_world = quat_rotate(q_yaw, displace_fp)
     displace_world = displace_world.at[2].set(0.0)
@@ -304,9 +305,13 @@ def advance(
     v_desired_world: jax.Array,
     yaw_rate_desired,
     dt,
+    terrain=None,
 ):
     """One gait tick. Returns (new GaitState, support mask (4,), swing
-    foot pos/vel/acc in world (each (4,3)), BaseTarget)."""
+    foot pos/vel/acc in world (each (4,3)), BaseTarget, surface normals
+    (4,3)). With a ``terrain`` Heightfield, footholds are snapped to the
+    nearest traversable cell (≙ FootstepOptimization at :301, :334) and
+    surface normals come from the map."""
     ph = phase_mod.advance(gait.phase, params, dt)
 
     support_f = ph.support.astype(feet_world.dtype)
@@ -321,11 +326,27 @@ def advance(
     # of the inverted-pendulum tip — stale footholds cannot catch it.
     # Targets freeze over the final 20% of the swing so touchdown is not
     # chasing a moving point.
+    if terrain is None:
+        ground = 0.0
+        normals = jnp.zeros_like(feet_world).at[:, 2].set(1.0)
+    else:
+        hips_3d = state.base.position[None, :] + quat_rotate(
+            state.base.quaternion[None], model.hip_pos.astype(feet_world.dtype)
+        )
+        ground = jax.vmap(terrain.height_at)(hips_3d[:, :2])
+        normals = None  # filled after foothold optimization
     targets = raibert_footholds(
         model, state, params, v_desired_world, footprint_z,
+        ground_height=ground,
         capture_gain=params.capture_gain,
         yaw_rate_desired=yaw_rate_desired,
     )
+    if terrain is not None:
+        from ..terrain.heightfield import optimize_footholds
+
+        targets, normals, _found = optimize_footholds(
+            terrain, targets, hips_3d
+        )
     update = ph.ready_to_swing | (
         ph.is_swing & (ph.swing_phase < 0.8 * params.t_swing)
     )
@@ -382,4 +403,4 @@ def advance(
     new_gait = new_gait.replace(
         base_ref_pos=ref_pos, base_ref_vel=ref_vel, yaw_ref=yaw_ref
     )
-    return new_gait, ph.support, (pos, vel, acc), target
+    return new_gait, ph.support, (pos, vel, acc), target, normals

@@ -71,9 +71,10 @@ def planner_tick(
     ls: LocomotionState,
     command: Command,
     qp_iters: int = 15,
+    terrain=None,
 ):
     """One 100 Hz planner tick + 4 control/physics substeps."""
-    gait2, support, (pos_w, vel_w, acc_w), target = gg.advance(
+    gait2, support, (pos_w, vel_w, acc_w), target, normals = gg.advance(
         model,
         ls.gait,
         ls.sim.robot,
@@ -82,25 +83,35 @@ def planner_tick(
         command.linear_velocity,
         command.yaw_rate,
         PLANNER_DT,
+        terrain=terrain,
     )
 
     def ctrl(sim, _):
         # Per-leg contact FSM: reconcile the gait's desired support with
         # measured contact every control tick (≙ ros_balance_controller
         # :233-380), then apply late-TD / bump reflexes to the swing refs.
-        contact = simlib.contact_sensor(sim)
+        if terrain is None:
+            gz = 0.0
+        else:
+            gz = jax.vmap(terrain.height_at)(sim.feet_world[:, :2])
+        contact = simlib.contact_sensor(sim, ground_height=gz)
         fsm = contact_fsm(
             support, contact, gait2.phase.swing_phase, gait_params.t_swing
         )
         pos_r, vel_r, acc_r = apply_swing_reflexes(
-            pos_w, vel_w, acc_w, sim.feet_world, fsm
+            pos_w, vel_w, acc_w, sim.feet_world, fsm, ground_height=gz
         )
-        state = sim.robot.replace(support=fsm.support)
+        state = sim.robot.replace(
+            support=fsm.support, surface_normal=normals
+        )
         tau, diag = locomotion_update(
             model, params, state, target, pos_r, vel_r, acc_r,
             qp_iters=qp_iters,
         )
-        sim2 = simlib.step(model, sim, tau, CONTROL_DT, support=fsm.support)
+        sim2 = simlib.step(
+            model, sim, tau, CONTROL_DT, support=fsm.support,
+            ground_height=gz,
+        )
         return sim2, diag.distribution.qp_solution.kkt_error
 
     sim_final, kkts = jax.lax.scan(
@@ -117,12 +128,14 @@ def rollout(
     command: Command,
     planner_steps: int,
     qp_iters: int = 15,
+    terrain=None,
 ):
     """Full closed-loop rollout. Returns (final state, per-tick telemetry)."""
 
     def tick(ls, _):
         ls2, kkt = planner_tick(
-            model, params, gait_params, ls, command, qp_iters=qp_iters
+            model, params, gait_params, ls, command, qp_iters=qp_iters,
+            terrain=terrain,
         )
         telemetry = {
             "base_position": ls2.sim.robot.base.position,
