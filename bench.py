@@ -20,6 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from quadruped_locomotion_tpu.utils import cache as _cache
+
+_cache.enable()
+
 BASELINE_SOLVES_PER_S = 10_000.0  # BASELINE.md north-star target
 
 

@@ -152,7 +152,18 @@ def load_action(
             doc = yaml.safe_load(f)
     else:
         doc = yaml.safe_load(source)
+    return build_schedule(doc, base_pos, base_quat, feet_world, dtype)
 
+
+def build_schedule(
+    doc: dict,
+    base_pos,
+    base_quat,
+    feet_world,
+    dtype=jnp.float32,
+) -> StepSchedule:
+    """Compile a parsed motion-script document (the YAML schema, as a
+    dict — also produced by :mod:`.messages` goals) to a StepSchedule."""
     default_frame = None
     for tr in doc.get("adapt_coordinates", []) or []:
         t = tr.get("transform", {})

@@ -3,12 +3,13 @@
 Usage: python scripts/repro_trot.py [cpu|axon] [steps]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 platform = sys.argv[1] if len(sys.argv) > 1 else "cpu"
 steps = int(sys.argv[2]) if len(sys.argv) > 2 else 200
-
-import os
 
 os.environ["JAX_PLATFORMS"] = platform
 import jax
@@ -54,10 +55,15 @@ def run(jitted: bool):
     return ls
 
 
-print("=== eager ===")
-ls_e = run(False)
 print("=== jit ===")
 ls_j = run(True)
 
-d = jnp.linalg.norm(ls_e.sim.robot.base.position - ls_j.sim.robot.base.position)
-print("final base pos diff eager-vs-jit:", float(d))
+if "--eager" in sys.argv:
+    # Opt-in only: the eager loop re-traces closure-bound scan bodies
+    # every tick and is extremely slow (see .claude/skills/verify).
+    print("=== eager ===")
+    ls_e = run(False)
+    d = jnp.linalg.norm(
+        ls_e.sim.robot.base.position - ls_j.sim.robot.base.position
+    )
+    print("final base pos diff eager-vs-jit:", float(d))
