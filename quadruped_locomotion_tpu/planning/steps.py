@@ -13,19 +13,47 @@ inside ``lax.scan``:
   durations from path-length / average velocity with the 0.3 s minimum
   (``StepParameters.hpp:24-85``), and the base motion is resolved —
   ``base_auto`` runs the pose-optimization cascade over the step's final
-  stance (``BaseAuto.cpp:292-455``), ``base_target`` uses the given pose;
+  stance (``BaseAuto.cpp:292-455``), ``base_target`` uses the given pose,
+  ``base_trajectory`` fits a multi-knot SE(3) Hermite curve
+  (``BaseTrajectory.cpp``);
 * each tick evaluates the swing splines (``Executor::writeLegMotion``,
   :352-443) and the base SE(3) interpolation
   (``Executor::writeTorsoMotion``, :445-483);
 * finished steps advance the index (``StepQueue::advance``, :79-120);
   past the end the executor holds the final stance (stand).
 
-The outputs per tick — (support, swing foot pos/vel/acc in world,
-BaseTarget) — are exactly the gait engine's interface, so scripted
-steps drive the same balance controller + plant closed loop.
+Leg-motion types mirror the reference's class hierarchy
+(``free_gait_core/src/leg_motion/``) as an integer code per (step, leg):
+
+* ``LEG_FOOTSTEP`` — profiled swing to a foothold (``Footstep.cpp``);
+* ``LEG_EE_TARGET`` — cartesian move of the end effector, typically with
+  ``ignore_contact`` so the foot is *held* at the target rather than
+  loaded (``EndEffectorTarget.cpp``); the straight profile is selected
+  at parse time;
+* ``LEG_JOINT_TRAJ`` — per-joint Hermite trajectory through up to
+  MAX_KNOTS knots (``JointTrajectory.cpp``); the leg leaves cartesian
+  control entirely and the controller runs joint-space PD + gravity
+  compensation (``ros_balance_controller.cpp:560-603``);
+* ``LEG_MODE`` — support-mode switch with a surface normal and duration
+  (``LegMode.cpp``), e.g. re-loading a leg after a joint trajectory.
+
+Per-leg ``ignore_contact`` / ``ignore_for_pose_adaptation`` flags carry
+the reference's Step options (``free_gait_msgs/msg``): an
+ignore-contact leg stays out of the support set for the whole step, and
+an ignore-for-pose-adaptation leg is dropped from the ``base_auto``
+pose-optimization foothold list and support polygon
+(``BaseAuto.cpp:327-392``).
+
+The outputs per tick (:class:`ExecOutputs`) — support set, swing-foot
+references, joint-space overrides, surface normals, BaseTarget — are
+exactly the gait engine's interface plus the per-leg mode channel of
+``/desired_robot_state`` (``StateRosPublisher.cpp:358-381``), so
+scripted steps drive the same balance controller + plant closed loop.
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +66,7 @@ from ..gait.footstep import (
     PROFILE_TRIANGLE,
     swing_trajectory,
 )
+from ..gait import spline as spline_mod
 from ..gait.spline import HermiteSpline, MAX_KNOTS
 from ..types import BaseTarget, RobotModel
 from ..utils.rotations import (
@@ -49,24 +78,43 @@ from ..utils.rotations import (
 )
 from . import pose_optimization as po
 
+# Base-motion modes (≙ free_gait_core/src/base_motion/)
 BASE_NONE = 0
 BASE_AUTO = 1
 BASE_TARGET = 2
+BASE_TRAJECTORY = 3
+
+# Leg-motion types (≙ free_gait_core/src/leg_motion/)
+LEG_NONE = 0
+LEG_FOOTSTEP = 1
+LEG_EE_TARGET = 2
+LEG_JOINT_TRAJ = 3
+LEG_MODE = 4
 
 DEFAULT_BASE_AVG_LIN = 0.2  # StepParameters.hpp BaseAuto average linear vel
 DEFAULT_BASE_AVG_ANG = 0.28
+DEFAULT_LEG_MODE_DURATION = 0.5
 
 
 @struct.dataclass
 class StepSchedule:
     """Stacked per-step specs; leading axis = step index (static length)."""
 
-    # leg motions (footsteps)
-    leg_active: jax.Array  # (S,4) bool
-    leg_target: jax.Array  # (S,4,3) world-frame foothold targets
-    leg_profile: jax.Array  # (S,4) int32
+    # leg motions
+    leg_motion_type: jax.Array  # (S,4) int32 LEG_* codes
+    leg_target: jax.Array  # (S,4,3) world-frame foothold / EE targets
+    leg_profile: jax.Array  # (S,4) int32 (footstep profiles)
     leg_profile_height: jax.Array  # (S,4)
     leg_avg_velocity: jax.Array  # (S,4)
+    leg_ignore_contact: jax.Array  # (S,4) bool
+    leg_ignore_pose_adapt: jax.Array  # (S,4) bool
+    leg_support_flag: jax.Array  # (S,4) bool (LEG_MODE target support state)
+    leg_surface_normal: jax.Array  # (S,4,3) world (LEG_MODE)
+    leg_mode_duration: jax.Array  # (S,4) (LEG_MODE / hold durations)
+    # joint trajectories (LEG_JOINT_TRAJ), padded to MAX_KNOTS
+    joint_traj_times: jax.Array  # (S,4,K)
+    joint_traj_pos: jax.Array  # (S,4,K,3)
+    joint_traj_nknots: jax.Array  # (S,4) int32
     # base motion
     base_mode: jax.Array  # (S,) int32
     base_height: jax.Array  # (S,) nominal height for base_auto
@@ -74,10 +122,92 @@ class StepSchedule:
     base_target_quat: jax.Array  # (S,4) wxyz (base_target mode)
     base_avg_lin: jax.Array  # (S,)
     base_avg_ang: jax.Array  # (S,)
+    base_ignore_timing: jax.Array  # (S,) bool — legs+base simultaneous
+    # base trajectory knots (BASE_TRAJECTORY), knot 0 = pose at step entry
+    base_knot_times: jax.Array  # (S,K)
+    base_knot_pos: jax.Array  # (S,K,3)
+    base_knot_quat: jax.Array  # (S,K,4)
+    base_nknots: jax.Array  # (S,) int32
+    # step-level minimum duration (custom_command holds etc.)
+    min_duration: jax.Array  # (S,)
 
     @property
     def num_steps(self) -> int:
-        return self.leg_active.shape[0]
+        return self.leg_motion_type.shape[0]
+
+    @property
+    def leg_active(self) -> jax.Array:
+        """Legs with a cartesian swing motion this step (S,4)."""
+        return (self.leg_motion_type == LEG_FOOTSTEP) | (
+            self.leg_motion_type == LEG_EE_TARGET
+        )
+
+    @classmethod
+    def create(cls, num_steps: int, dtype=jnp.float32, **overrides):
+        """Build a schedule with reference-default values, overriding any
+        subset of fields (missing leg motions default to LEG_NONE, base
+        motions to BASE_NONE)."""
+        S, K = num_steps, MAX_KNOTS
+        z = jnp.zeros
+        defaults = dict(
+            leg_motion_type=z((S, 4), jnp.int32),
+            leg_target=z((S, 4, 3), dtype),
+            leg_profile=jnp.full((S, 4), PROFILE_TRIANGLE, jnp.int32),
+            leg_profile_height=jnp.full(
+                (S, 4), DEFAULT_PROFILE_HEIGHT, dtype
+            ),
+            leg_avg_velocity=jnp.full(
+                (S, 4), DEFAULT_AVERAGE_VELOCITY, dtype
+            ),
+            leg_ignore_contact=z((S, 4), bool),
+            leg_ignore_pose_adapt=z((S, 4), bool),
+            leg_support_flag=jnp.ones((S, 4), bool),
+            leg_surface_normal=jnp.tile(
+                jnp.array([0.0, 0.0, 1.0], dtype), (S, 4, 1)
+            ),
+            leg_mode_duration=jnp.full(
+                (S, 4), DEFAULT_LEG_MODE_DURATION, dtype
+            ),
+            joint_traj_times=z((S, 4, K), dtype),
+            joint_traj_pos=z((S, 4, K, 3), dtype),
+            joint_traj_nknots=jnp.full((S, 4), 2, jnp.int32),
+            base_mode=z((S,), jnp.int32),
+            base_height=jnp.full((S,), 0.4, dtype),
+            base_target_pos=z((S, 3), dtype),
+            base_target_quat=jnp.tile(
+                jnp.array([1.0, 0, 0, 0], dtype), (S, 1)
+            ),
+            base_avg_lin=jnp.full((S,), DEFAULT_BASE_AVG_LIN, dtype),
+            base_avg_ang=jnp.full((S,), DEFAULT_BASE_AVG_ANG, dtype),
+            base_ignore_timing=z((S,), bool),
+            base_knot_times=z((S, K), dtype),
+            base_knot_pos=z((S, K, 3), dtype),
+            base_knot_quat=jnp.tile(
+                jnp.array([1.0, 0, 0, 0], dtype), (S, K, 1)
+            ),
+            base_nknots=jnp.full((S,), 2, jnp.int32),
+            min_duration=jnp.full((S,), DEFAULT_MIN_DURATION, dtype),
+        )
+        unknown = set(overrides) - set(defaults)
+        if unknown:
+            raise TypeError(f"unknown StepSchedule fields: {sorted(unknown)}")
+        defaults.update(overrides)
+        return cls(**defaults)
+
+
+class ExecOutputs(NamedTuple):
+    """Per-tick executor outputs — the planner→controller interface
+    (≙ the ``/desired_robot_state`` payload, ``StateRosPublisher.cpp``)."""
+
+    support: jax.Array  # (4,) bool
+    foot_pos: jax.Array  # (4,3) world swing references
+    foot_vel: jax.Array  # (4,3)
+    foot_acc: jax.Array  # (4,3)
+    joint_mode: jax.Array  # (4,) bool — leg under joint-space control
+    q_des: jax.Array  # (4,3) joint targets (joint_mode legs)
+    qd_des: jax.Array  # (4,3)
+    surface_normal: jax.Array  # (4,3) world
+    base: BaseTarget
 
 
 @struct.dataclass
@@ -87,17 +217,26 @@ class ExecState:
     step_index: jax.Array  # scalar int32
     time_in_step: jax.Array  # scalar
     step_duration: jax.Array  # scalar
-    base_duration: jax.Array  # scalar — base shift completes first
+    base_duration: jax.Array  # scalar
     leg_start: jax.Array  # scalar — when leg motions begin
-    leg_duration: jax.Array  # (4,) per-leg swing durations this step
-    leg_active: jax.Array  # (4,) bool
-    splines: HermiteSpline  # per-leg, leading (4,) axis
-    # base interpolation endpoints for this step
-    base_pos0: jax.Array  # (3,)
-    base_quat0: jax.Array  # (4,)
-    base_pos1: jax.Array  # (3,)
-    base_quat1: jax.Array  # (4,)
+    leg_duration: jax.Array  # (4,) per-leg motion durations this step
+    leg_motion: jax.Array  # (4,) int32 LEG_* codes this step
+    leg_ignore_contact: jax.Array  # (4,) bool
+    leg_support_flag: jax.Array  # (4,) bool (LEG_MODE)
+    leg_surface_normal: jax.Array  # (4,3)
+    splines: HermiteSpline  # cartesian swing splines, leading (4,) axis
+    joint_splines: HermiteSpline  # joint-space splines, leading (4,) axis
+    # base SE(3) curve for this step: position Hermite + quaternion knots
+    base_spline: HermiteSpline  # position, times 0..base_duration
+    base_quat_knots: jax.Array  # (K,4)
     done: jax.Array  # bool — schedule exhausted
+
+    @property
+    def leg_active(self) -> jax.Array:
+        """Legs with a cartesian swing motion this step (4,)."""
+        return (self.leg_motion == LEG_FOOTSTEP) | (
+            self.leg_motion == LEG_EE_TARGET
+        )
 
 
 def _empty_splines(feet_world):
@@ -111,6 +250,18 @@ def _empty_splines(feet_world):
     )
 
 
+def _hold_spline(value, dtype):
+    """Degenerate 2-knot spline holding ``value`` (no leading axis)."""
+    vals = jnp.tile(value[None, :], (MAX_KNOTS, 1))
+    return HermiteSpline(
+        times=jnp.zeros((MAX_KNOTS,), dtype),
+        values=vals,
+        tangents=jnp.zeros_like(vals),
+        num_knots=jnp.asarray(2, jnp.int32),
+        duration=jnp.asarray(0.0, dtype),
+    )
+
+
 def init_exec_state(feet_world, base_pos, base_quat) -> ExecState:
     dtype = feet_world.dtype
     return ExecState(
@@ -120,14 +271,59 @@ def init_exec_state(feet_world, base_pos, base_quat) -> ExecState:
         base_duration=jnp.asarray(0.0, dtype),
         leg_start=jnp.asarray(0.0, dtype),
         leg_duration=jnp.zeros(4, dtype),
-        leg_active=jnp.zeros(4, bool),
+        leg_motion=jnp.zeros(4, jnp.int32),
+        leg_ignore_contact=jnp.zeros(4, bool),
+        leg_support_flag=jnp.ones(4, bool),
+        leg_surface_normal=jnp.tile(jnp.array([0.0, 0.0, 1.0], dtype), (4, 1)),
         splines=_empty_splines(feet_world),
-        base_pos0=base_pos,
-        base_quat0=base_quat,
-        base_pos1=base_pos,
-        base_quat1=base_quat,
+        joint_splines=_empty_splines(jnp.zeros((4, 3), dtype)),
+        base_spline=_hold_spline(base_pos, dtype),
+        base_quat_knots=jnp.tile(base_quat[None, :], (MAX_KNOTS, 1)),
         done=jnp.asarray(False),
     )
+
+
+def _fit_joint_spline(times, pos, nknots, q_now):
+    """Per-leg joint trajectory: Hermite through the script knots with the
+    current joint position prepended at t=0 (the reference completer seeds
+    joint trajectories from the measured state, StepCompleter.cpp:36-86)."""
+    dtype = pos.dtype
+    # shift knots right by one, insert (0, q_now)
+    t = jnp.concatenate([jnp.zeros((1,), dtype), times[: MAX_KNOTS - 1]])
+    v = jnp.concatenate([q_now[None, :], pos[: MAX_KNOTS - 1]])
+    k = jnp.minimum(nknots + 1, MAX_KNOTS)
+    # pad past the last real knot by repeating it (mask-safe for _eval)
+    idx = jnp.arange(MAX_KNOTS)
+    last = jnp.clip(k - 1, 0, MAX_KNOTS - 1)
+    src = jnp.minimum(idx, last)
+    t = t[src]
+    v = v[src]
+    zero = jnp.zeros((3,), dtype)
+    return spline_mod.fit(t, v, zero, zero, k)
+
+
+def _quat_segment_eval(times, quats, num_knots, t, duration):
+    """Piecewise quaternion interpolation over Hermite knot times:
+    per-segment exp/log smoothstep (C¹ at knots for the 2-knot case; the
+    reference's CubicHermiteSE3Curve semantics for orientation)."""
+    idx = jnp.arange(MAX_KNOTS)
+    valid = idx < num_knots - 1
+    t = jnp.clip(t, times[0], jnp.maximum(times[0], duration))
+    seg = jnp.sum(jnp.where(valid & (times <= t), 1, 0)) - 1
+    seg = jnp.clip(seg, 0, MAX_KNOTS - 2)
+    t0, t1 = times[seg], times[seg + 1]
+    h_raw = t1 - t0
+    ok = h_raw > 1e-6
+    h = jnp.where(ok, h_raw, 1.0)
+    u = jnp.clip((t - t0) / h, 0.0, 1.0)
+    s = 3 * u**2 - 2 * u**3
+    sdot = jnp.where(ok, (6 * u - 6 * u**2) / h, 0.0)
+    q0, q1 = quats[seg], quats[seg + 1]
+    phi = quat_log(quat_mul(quat_conj(q0), q1))
+    q = quat_normalize(quat_mul(q0, quat_exp(s * phi)))
+    q = jnp.where(ok, q, q0)
+    angvel = jnp.where(ok, sdot * phi, jnp.zeros_like(phi))
+    return q, angvel
 
 
 def _enter_step(
@@ -137,11 +333,15 @@ def _enter_step(
     feet_world,
     base_pos,
     base_quat,
+    q_now,
 ):
     """StepCompleter: resolve one step's motions from the current state."""
     dtype = feet_world.dtype
     i = jnp.clip(idx, 0, sched.num_steps - 1)
-    active = sched.leg_active[i]
+    mtype = sched.leg_motion_type[i]
+    cartesian = (mtype == LEG_FOOTSTEP) | (mtype == LEG_EE_TARGET)
+    jointspace = mtype == LEG_JOINT_TRAJ
+    legmode = mtype == LEG_MODE
     targets = sched.leg_target[i]
     prof = sched.leg_profile[i]
     ph = sched.leg_profile_height[i]
@@ -161,30 +361,58 @@ def _enter_step(
     hold = _empty_splines(feet_world)
     splines = jax.tree_util.tree_map(
         lambda a, b: jnp.where(
-            active.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+            cartesian.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
         ),
         splines,
         hold,
     )
-    leg_dur = jnp.where(active, splines.duration, 0.0)
 
-    # Final stance of this step: active legs at their targets.
-    final_feet = jnp.where(active[:, None], targets, feet_world)
+    joint_splines = jax.vmap(_fit_joint_spline)(
+        sched.joint_traj_times[i],
+        sched.joint_traj_pos[i],
+        sched.joint_traj_nknots[i],
+        q_now,
+    )
+    hold_j = _empty_splines(q_now)
+    joint_splines = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(
+            jointspace.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+        ),
+        joint_splines,
+        hold_j,
+    )
+
+    leg_dur = jnp.where(
+        cartesian,
+        splines.duration,
+        jnp.where(
+            jointspace,
+            joint_splines.duration,
+            jnp.where(legmode, sched.leg_mode_duration[i], 0.0),
+        ),
+    )
+
+    # Final stance of this step: cartesian legs at their targets.
+    final_feet = jnp.where(cartesian[:, None], targets, feet_world)
 
     mode = sched.base_mode[i]
+    ignore_pa = sched.leg_ignore_pose_adapt[i]
     # base_auto ≙ BaseAuto foothold lists (:327-392): nominal-stance cost
     # over the footholds to reach (final stance), CoM constrained to the
     # polygon of the legs that KEEP support during the motion, with the
     # default 0.04 margin — this is what shifts the torso over the
-    # support triangle before a leg lifts.
+    # support triangle before a leg lifts. Legs flagged
+    # ignore_for_pose_adaptation are dropped from both lists.
+    moving = cartesian | jointspace
+    keeps_support = jnp.where(legmode, sched.leg_support_flag[i], ~moving)
     auto_pose = po.optimize_pose(
         model,
         final_feet,
-        jnp.ones(4, bool),
+        ~ignore_pa,
         height=sched.base_height[i],
         margin=0.04,
         polygon_feet=feet_world,
-        polygon_support=~active,
+        polygon_support=keeps_support & ~ignore_pa,
     )
     pos1 = jnp.where(
         mode == BASE_TARGET,
@@ -197,15 +425,10 @@ def _enter_step(
         jnp.where(mode == BASE_AUTO, auto_pose.quaternion, base_quat),
     )
 
-    # Two-phase timing (documented deviation from the reference's
-    # simultaneous motion timelines, Step.cpp:105-196): the base shift
-    # completes FIRST, then the leg motions start. Lifting a foot while
-    # the CoM still sits on the old support edge tips the robot in
-    # ~sqrt(h/g)=0.2 s, far faster than the base tracks its target —
-    # weight shift before lift-off is how a static walk is stable at all.
+    # --- base curve: unified K-knot Hermite + quaternion knots ----------
     lin_dist = jnp.linalg.norm(pos1 - base_pos)
     ang_dist = jnp.linalg.norm(quat_log(quat_mul(quat_conj(base_quat), quat1)))
-    base_dur = jnp.where(
+    two_knot_dur = jnp.where(
         mode == BASE_NONE,
         0.0,
         jnp.maximum(
@@ -213,13 +436,63 @@ def _enter_step(
             ang_dist / sched.base_avg_ang[i],
         ),
     )
-    any_leg = jnp.any(active)
-    leg_start = jnp.where(any_leg, base_dur, 0.0)
+    is_traj = mode == BASE_TRAJECTORY
+    nk_traj = jnp.minimum(sched.base_nknots[i] + 1, MAX_KNOTS)
+    # trajectory knots: current pose prepended at t=0 (like joint splines)
+    tt = jnp.concatenate(
+        [jnp.zeros((1,), dtype), sched.base_knot_times[i, : MAX_KNOTS - 1]]
+    )
+    pp = jnp.concatenate(
+        [base_pos[None], sched.base_knot_pos[i, : MAX_KNOTS - 1]]
+    )
+    qq = jnp.concatenate(
+        [base_quat[None], sched.base_knot_quat[i, : MAX_KNOTS - 1]]
+    )
+    idx5 = jnp.arange(MAX_KNOTS)
+    last = jnp.clip(nk_traj - 1, 0, MAX_KNOTS - 1)
+    src = jnp.minimum(idx5, last)
+    tt, pp, qq = tt[src], pp[src], qq[src]
+    # two-knot curve (NONE/AUTO/TARGET): [now → target] over two_knot_dur
+    t2 = jnp.where(idx5 == 0, 0.0, two_knot_dur)
+    p2 = jnp.where((idx5 == 0)[:, None], base_pos[None], pos1[None])
+    q2 = jnp.where((idx5 == 0)[:, None], base_quat[None], quat1[None])
+    kt = jnp.where(is_traj, tt, t2)
+    kp = jnp.where(is_traj, pp, p2)
+    kq = jnp.where(is_traj, qq, q2)
+    nk = jnp.where(is_traj, nk_traj, 2)
+    zero3 = jnp.zeros((3,), dtype)
+    base_spline = spline_mod.fit(kt, kp, zero3, zero3, nk)
+    base_dur = base_spline.duration
+
+    # Two-phase timing (documented deviation from the reference's
+    # simultaneous motion timelines, Step.cpp:105-196): unless the script
+    # sets ignore_timing_of_leg_motion, the base shift completes FIRST,
+    # then the leg motions start. Lifting a foot while the CoM still sits
+    # on the old support edge tips the robot in ~sqrt(h/g)=0.2 s, far
+    # faster than the base tracks its target — weight shift before
+    # lift-off is how a static walk is stable at all.
+    any_leg = jnp.any(mtype != LEG_NONE)
+    leg_start = jnp.where(
+        any_leg & ~sched.base_ignore_timing[i], base_dur, 0.0
+    )
     duration = jnp.maximum(
         leg_start + jnp.max(leg_dur),
-        jnp.maximum(base_dur, DEFAULT_MIN_DURATION),
+        jnp.maximum(base_dur, sched.min_duration[i]),
     )
-    return active, splines, leg_dur, pos1, quat1, duration, base_dur, leg_start
+    return dict(
+        leg_motion=mtype,
+        leg_duration=leg_dur,
+        leg_ignore_contact=sched.leg_ignore_contact[i],
+        leg_support_flag=sched.leg_support_flag[i],
+        leg_surface_normal=sched.leg_surface_normal[i],
+        splines=splines,
+        joint_splines=joint_splines,
+        base_spline=base_spline,
+        base_quat_knots=kq,
+        base_duration=base_dur,
+        leg_start=leg_start,
+        duration=duration,
+    )
 
 
 def advance(
@@ -230,10 +503,16 @@ def advance(
     base_pos: jax.Array,
     base_quat: jax.Array,
     dt,
+    q_now: jax.Array | None = None,
 ):
-    """One planner tick. Returns (new ExecState, support (4,), swing
-    (pos, vel, acc) world (4,3) each, BaseTarget)."""
+    """One planner tick. Returns (new ExecState, :class:`ExecOutputs`).
+
+    ``q_now`` (4,3) seeds joint trajectories at step entry; defaults to
+    zeros for schedules without joint-space motions.
+    """
     dtype = feet_world.dtype
+    if q_now is None:
+        q_now = jnp.zeros((4, 3), dtype)
 
     # --- step switching (StepQueue::advance) ----------------------------
     t = es.time_in_step + dt
@@ -243,72 +522,117 @@ def advance(
     done = es.done | (finished & (next_idx >= sched.num_steps))
 
     entered = _enter_step(
-        model, sched, next_idx, feet_world, base_pos, base_quat
+        model, sched, next_idx, feet_world, base_pos, base_quat, q_now
     )
-    (
-        n_active,
-        n_splines,
-        n_leg_dur,
-        n_pos1,
-        n_quat1,
-        n_duration,
-        n_base_dur,
-        n_leg_start,
-    ) = entered
 
     # jnp.where broadcasts a scalar bool over any shape — use directly.
     w = switch
+    sel = lambda a, b: jax.tree_util.tree_map(
+        lambda x, y: jnp.where(w, x, y), a, b
+    )
     es2 = ExecState(
         step_index=jnp.where(w, next_idx, es.step_index),
         time_in_step=jnp.where(w, dt, t),
-        step_duration=jnp.where(w, n_duration, es.step_duration),
-        base_duration=jnp.where(w, n_base_dur, es.base_duration),
-        leg_start=jnp.where(w, n_leg_start, es.leg_start),
-        leg_duration=jnp.where(w, n_leg_dur, es.leg_duration),
-        leg_active=jnp.where(w, n_active, es.leg_active),
-        splines=jax.tree_util.tree_map(
-            lambda a, b: jnp.where(w, a, b), n_splines, es.splines
+        step_duration=jnp.where(w, entered["duration"], es.step_duration),
+        base_duration=jnp.where(w, entered["base_duration"], es.base_duration),
+        leg_start=jnp.where(w, entered["leg_start"], es.leg_start),
+        leg_duration=jnp.where(w, entered["leg_duration"], es.leg_duration),
+        leg_motion=jnp.where(w, entered["leg_motion"], es.leg_motion),
+        leg_ignore_contact=jnp.where(
+            w, entered["leg_ignore_contact"], es.leg_ignore_contact
         ),
-        base_pos0=jnp.where(w, base_pos, es.base_pos0),
-        base_quat0=jnp.where(w, base_quat, es.base_quat0),
-        base_pos1=jnp.where(w, n_pos1, es.base_pos1),
-        base_quat1=jnp.where(w, n_quat1, es.base_quat1),
+        leg_support_flag=jnp.where(
+            w, entered["leg_support_flag"], es.leg_support_flag
+        ),
+        leg_surface_normal=jnp.where(
+            w, entered["leg_surface_normal"], es.leg_surface_normal
+        ),
+        splines=sel(entered["splines"], es.splines),
+        joint_splines=sel(entered["joint_splines"], es.joint_splines),
+        base_spline=sel(entered["base_spline"], es.base_spline),
+        base_quat_knots=jnp.where(
+            w, entered["base_quat_knots"], es.base_quat_knots
+        ),
         done=done,
     )
 
     tt = es2.time_in_step
+    mtype = es2.leg_motion
+    cartesian = es2.leg_active
+    jointspace = mtype == LEG_JOINT_TRAJ
+    legmode = mtype == LEG_MODE
+
     # --- leg motions (writeLegMotion), delayed past the base shift ------
     tl = tt - es2.leg_start
-    in_swing = (
-        es2.leg_active & (tl >= 0.0) & (tl < es2.leg_duration) & (~es2.done)
-    )
-    support = ~in_swing
+    in_window = (tl >= 0.0) & (tl < es2.leg_duration)
+    in_swing = cartesian & in_window & (~es2.done)
     tle = jnp.maximum(tl, 0.0)
     pos = jax.vmap(lambda sp: sp.evaluate(tle))(es2.splines)
     vel = jax.vmap(lambda sp: sp.velocity(tle))(es2.splines)
     acc = jax.vmap(lambda sp: sp.acceleration(tle))(es2.splines)
     zero = jnp.zeros_like(pos)
-    pos = jnp.where(in_swing[:, None], pos, feet_world)
+    # ignore-contact legs HOLD the spline end past the motion window
+    # (EndEffectorTarget with ignore_contact: the foot parks in the air).
+    track = in_swing | (cartesian & es2.leg_ignore_contact & (tl >= 0.0) & ~es2.done)
+    pos = jnp.where(track[:, None], pos, feet_world)
     vel = jnp.where(in_swing[:, None], vel, zero)
     acc = jnp.where(in_swing[:, None], acc, zero)
 
-    # --- base motion (writeTorsoMotion): smoothstep SE(3) interpolation
-    # over the base phase, held at the target during the leg phase ------
-    u = jnp.clip(tt / jnp.maximum(es2.base_duration, 1e-6), 0.0, 1.0)
-    s = 3 * u**2 - 2 * u**3
-    sdot = (6 * u - 6 * u**2) / jnp.maximum(es2.base_duration, 1e-6)
-    dp = es2.base_pos1 - es2.base_pos0
-    b_pos = es2.base_pos0 + s * dp
-    b_vel = sdot * dp
-    phi = quat_log(quat_mul(quat_conj(es2.base_quat0), es2.base_quat1))
-    b_quat = quat_normalize(
-        quat_mul(es2.base_quat0, quat_exp(s * phi))
+    # joint-space channel (LEG_JOINT_TRAJ): hold the last knot after the
+    # motion window (the leg stays under joint control for the step).
+    joint_mode = jointspace & (tl >= 0.0) & (~es2.done)
+    q_des = jax.vmap(lambda sp: sp.evaluate(tle))(es2.joint_splines)
+    qd_des = jnp.where(
+        in_window[:, None],
+        jax.vmap(lambda sp: sp.velocity(tle))(es2.joint_splines),
+        0.0,
     )
-    b_angvel_world = sdot * phi  # small-angle: body≈world for these moves
+
+    # --- support set (writeSupportLegs, Executor.cpp:290-350) -----------
+    # footstep: swing during the window, support after touchdown;
+    # ee_target/joint_traj with ignore_contact: non-support all step;
+    # joint_traj without ignore_contact: non-support during motion;
+    # leg_mode: scripted support flag from motion start.
+    moving = cartesian | jointspace
+    nonsupport = (
+        (moving & in_window)
+        | (moving & es2.leg_ignore_contact & (tl >= 0.0))
+        | (legmode & (tl >= 0.0) & ~es2.leg_support_flag)
+    )
+    support = ~(nonsupport & ~es2.done)
+
+    normal = jnp.where(
+        legmode[:, None],
+        es2.leg_surface_normal,
+        jnp.tile(jnp.array([0.0, 0.0, 1.0], dtype), (4, 1)),
+    )
+
+    # --- base motion (writeTorsoMotion): K-knot SE(3) curve -------------
+    tb = jnp.clip(tt, 0.0, es2.base_duration)
+    b_pos = es2.base_spline.evaluate(tb)
+    b_vel = es2.base_spline.velocity(tb)
+    b_quat, b_angvel = _quat_segment_eval(
+        es2.base_spline.times,
+        es2.base_quat_knots,
+        es2.base_spline.num_knots,
+        tb,
+        es2.base_duration,
+    )
     target = BaseTarget(
         position=b_pos,
         quaternion=b_quat,
         linear_velocity=b_vel,
-        angular_velocity=b_angvel_world,
+        angular_velocity=b_angvel,
     )
-    return es2, support, (pos, vel, acc), target
+    out = ExecOutputs(
+        support=support,
+        foot_pos=pos,
+        foot_vel=vel,
+        foot_acc=acc,
+        joint_mode=joint_mode,
+        q_des=q_des,
+        qd_des=qd_des,
+        surface_normal=normal,
+        base=target,
+    )
+    return es2, out

@@ -29,10 +29,10 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..model.kinematics import inverse_kinematics
+from ..model.kinematics import forward_kinematics, inverse_kinematics
 from ..planning import steps as steps_mod
 from ..types import RobotModel
-from ..utils.rotations import quat_inv_rotate, quat_normalize
+from ..utils.rotations import quat_inv_rotate, quat_normalize, quat_rotate
 from .closed_loop import PLANNER_DT
 
 
@@ -81,17 +81,24 @@ def batch_preview(
 
     def tick(carry, _):
         es, feet, bpos, bquat = carry
-        es2, support, (pos_w, vel_w, _acc), target = steps_mod.advance(
-            model, sched, es, feet, bpos, bquat, dt
-        )
+        es2, out = steps_mod.advance(model, sched, es, feet, bpos, bquat, dt)
+        support, pos_w, vel_w = out.support, out.foot_pos, out.foot_vel
+        target = out.base
         feet2 = jnp.where(support[:, None], feet, pos_w)
         bpos2 = target.position
         bquat2 = quat_normalize(target.quaternion)
-        # AdapterDummy joint state: IK of foot-in-base at the new pose
+        # AdapterDummy joint state: IK of foot-in-base at the new pose;
+        # joint-mode legs follow their joint splines directly and their
+        # "feet" track the resulting FK.
         feet_base = quat_inv_rotate(
             jnp.broadcast_to(bquat2, (4, 4)), feet2 - bpos2
         )
         q = inverse_kinematics(model, feet_base)
+        q = jnp.where(out.joint_mode[:, None], out.q_des, q)
+        fk_world = bpos2 + quat_rotate(
+            jnp.broadcast_to(bquat2, (4, 4)), forward_kinematics(model, q)
+        )
+        feet2 = jnp.where(out.joint_mode[:, None], fk_world, feet2)
         rec = {
             "base_position": bpos2,
             "base_quaternion": bquat2,

@@ -16,6 +16,7 @@ from flax import struct
 
 from ..control.contact_fsm import apply_swing_reflexes, contact_fsm
 from ..control.locomotion import ControllerParams, locomotion_update
+from ..control.swing import joint_pd_gravity_torques
 from ..planning import steps as steps_mod
 from ..types import RobotModel
 from . import simulator as simlib
@@ -45,7 +46,7 @@ def planner_tick(
     ss: ScriptState,
     qp_iters: int = 15,
 ):
-    es2, support, (pos_w, vel_w, acc_w), target = steps_mod.advance(
+    es2, out = steps_mod.advance(
         model,
         sched,
         ss.exec,
@@ -53,7 +54,11 @@ def planner_tick(
         ss.sim.robot.base.position,
         ss.sim.robot.base.quaternion,
         PLANNER_DT,
+        q_now=ss.sim.robot.q,
     )
+    support = out.support
+    pos_w, vel_w, acc_w = out.foot_pos, out.foot_vel, out.foot_acc
+    target = out.base
     # swing-phase proxy for the FSM's early/late classification: time
     # since THIS leg's motion began (the step's base-shift phase does not
     # count — measuring from step start would classify lift-off contact
@@ -70,15 +75,26 @@ def planner_tick(
     def ctrl(sim, _):
         contact = simlib.contact_sensor(sim)
         fsm = contact_fsm(support, contact, swing_phase, t_swing)
+        # joint-mode legs bypass the contact FSM (they are under open
+        # joint-space control, ros_balance_controller.cpp:560-603)
+        fsm_support = jnp.where(out.joint_mode, support, fsm.support)
         pos_r, vel_r, acc_r = apply_swing_reflexes(
             pos_w, vel_w, acc_w, sim.feet_world, fsm
         )
-        state = sim.robot.replace(support=fsm.support)
+        state = sim.robot.replace(
+            support=fsm_support, surface_normal=out.surface_normal
+        )
         tau, diag = locomotion_update(
             model, params, state, target, pos_r, vel_r, acc_r,
             qp_iters=qp_iters,
         )
-        sim2 = simlib.step(model, sim, tau, CONTROL_DT, support=fsm.support)
+        tau_joint = joint_pd_gravity_torques(
+            model, state, out.q_des, out.qd_des
+        )
+        tau = jnp.where(
+            (out.joint_mode & ~fsm_support)[:, None], tau_joint, tau
+        )
+        sim2 = simlib.step(model, sim, tau, CONTROL_DT, support=fsm_support)
         return sim2, diag.distribution.qp_solution.kkt_error
 
     sim_final, kkts = jax.lax.scan(ctrl, ss.sim, None, length=CONTROL_SUBSTEPS)
@@ -101,6 +117,7 @@ def run_schedule(
             "base_position": ss2.sim.robot.base.position,
             "base_quaternion": ss2.sim.robot.base.quaternion,
             "feet_world": ss2.sim.feet_world,
+            "joint_positions": ss2.sim.robot.q,
             "step_index": ss2.exec.step_index,
             "done": ss2.exec.done,
             "qp_kkt": kkt,
