@@ -16,11 +16,16 @@ block of the objective decouple to min w·xᵀx → exactly 0 — no dynamic
 shapes, fully vmap/shard-able.
 
 The reference's "double solve" with per-leg load-factor equality
-constraints (:338-383) pins *every* stance leg's force to the first
-solution (the load-factor<1 condition is commented out at :153-156), so
-the second solve reproduces the first and is omitted here. The optional
-``load_factors`` argument implements the underlying capability: legs with
-factor < 1 get their force scaled via the equality path.
+constraints (:338-383): legs being unloaded (factor < 1) get their force
+pinned to factor × (first solution) by equality rows C x = c, and the QP
+is solved again for the remaining legs. Here the equality is enforced by
+*elimination* instead of KKT rows — pinned legs are masked out of the
+second problem and their wrench moves to the right-hand side — which is
+exact, keeps the problem strictly feasible for the interior-point
+solver, and stays fixed-shape. Pass ``load_factors`` to
+:func:`distribute` to engage it; ``None`` (the default, and the
+reference's effective behavior — its factor<1 condition is commented
+out at :153-156) runs a single solve.
 """
 
 from __future__ import annotations
@@ -117,19 +122,58 @@ def distribute(
     virtual_torque: jax.Array,
     feet_in_base: jax.Array | None = None,
     iters: int = 20,
+    load_factors: jax.Array | None = None,
 ) -> ForceDistributionResult:
-    """≙ ``ContactForceDistribution::computeForceDistribution`` (:99-136)."""
+    """≙ ``ContactForceDistribution::computeForceDistribution`` (:99-136).
+
+    ``load_factors`` (4,) engages the double-solve leg-unloading path
+    (:338-383): stance legs with factor < 1 are re-pinned to
+    factor × (first solution) and the remaining legs re-optimized.
+    """
+    if feet_in_base is None:
+        feet_in_base = forward_kinematics(model, state.q)
     A, b, S, W, D, d = build_qp(
         model, params, state, virtual_force, virtual_torque, feet_in_base
     )
     sol = qp.solve_weighted_ls_qp(A, S, b, W, D, d, iters=iters)
     x = sol.x * jnp.repeat(state.support.astype(sol.x.dtype), 3)
+
+    if load_factors is not None:
+        dtype = x.dtype
+        lf = jnp.asarray(load_factors, dtype)
+        pinned = state.support & (lf < 1.0)  # (4,)
+        x_pin = x.reshape(4, 3) * lf[:, None]  # factor × first solution
+        # wrench the pinned legs contribute, moved to the RHS
+        f_pin = jnp.where(pinned[:, None], x_pin, 0.0)
+        wrench_pin = jnp.concatenate(
+            [
+                jnp.sum(f_pin, axis=0),
+                jnp.sum(jnp.cross(feet_in_base, f_pin), axis=0),
+            ]
+        )
+        state2 = state.replace(support=state.support & ~pinned)
+        A2, _, _, _, D2, d2 = build_qp(
+            model, params, state2, virtual_force, virtual_torque,
+            feet_in_base,
+        )
+        sol2 = qp.solve_weighted_ls_qp(
+            A2, S, b - wrench_pin, W, D2, d2, iters=iters
+        )
+        x2 = sol2.x * jnp.repeat(state2.support.astype(dtype), 3)
+        x = jnp.where(
+            jnp.repeat(pinned, 3), x_pin.reshape(12), x2
+        )
+        sol = sol2
+        A = A2
+
     grf = x.reshape(4, 3)
     return ForceDistributionResult(
         contact_forces=-grf,
         ground_reaction=grf,
         qp_solution=sol,
-        virtual_wrench_realized=A @ sol.x,
+        virtual_wrench_realized=A @ sol.x + (
+            0.0 if load_factors is None else wrench_pin
+        ),
     )
 
 

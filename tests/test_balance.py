@@ -151,3 +151,34 @@ def test_closed_loop_standing_recovery(setup):
     )
     # no NaNs anywhere on the trajectory
     assert np.all(np.isfinite(np.asarray(traj)))
+
+
+def test_load_factor_double_solve(setup):
+    """Leg-load-factor double solve (≙ ContactForceDistribution.cpp:338-383):
+    an unloading leg's force is pinned to factor × (first solution) and the
+    other legs pick up the slack so the wrench still matches."""
+    model, gains, cfd, sim, target = setup
+    vf, vt = compute_virtual_wrench(model, gains, sim.robot, target)
+    res1 = fd.distribute(model, cfd, sim.robot, vf, vt, iters=25)
+    lf = jnp.array([1.0, 1.0, 0.5, 1.0])
+    res2 = fd.distribute(
+        model, cfd, sim.robot, vf, vt, iters=25, load_factors=lf
+    )
+    g1 = np.asarray(res1.ground_reaction)
+    g2 = np.asarray(res2.ground_reaction)
+    # RH pinned at half its first-solve force
+    np.testing.assert_allclose(g2[2], 0.5 * g1[2], atol=1e-3)
+    # total wrench still realized by the remaining legs
+    wrench = np.asarray(res2.virtual_wrench_realized)
+    np.testing.assert_allclose(wrench[:3], np.asarray(vf), atol=1.0)
+    np.testing.assert_allclose(wrench[3:], np.asarray(vt), atol=1.0)
+    # the other legs carry more vertical load than before
+    assert g2[[0, 1, 3], 2].sum() > g1[[0, 1, 3], 2].sum() + 1.0
+    # factors of 1.0 everywhere reproduce the single solve
+    res3 = fd.distribute(
+        model, cfd, sim.robot, vf, vt, iters=25,
+        load_factors=jnp.ones(4),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res3.ground_reaction), g1, atol=1e-4
+    )
