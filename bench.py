@@ -63,8 +63,41 @@ def build_batch(batch: int):
     return A, b, S, W, D, d
 
 
+def scaling_main(batch: int):
+    """Weak-scaling mode (`bench.py --scaling [batch]`): shard the sweep
+    over all local devices and report scaling efficiency vs 1 device.
+    On multi-host slices run under `jax.distributed` this measures the
+    BASELINE's N-host protocol; single-chip hosts report trivially."""
+    from quadruped_locomotion_tpu.parallel import distributed as dist
+
+    dist.initialize_multihost()
+    problem = build_batch(batch)
+    res = dist.measure_scaling(problem, iters=15, reps=10)
+    for n, r in sorted(res.items()):
+        print(
+            f"devices={n} solves/s={r['solves_per_s']:.1f} "
+            f"efficiency={r['efficiency']:.3f} max_kkt={r['max_kkt']:.2e}",
+            file=sys.stderr,
+        )
+    top = res[max(res)]
+    print(
+        json.dumps(
+            {
+                "metric": "QP sweep weak-scaling efficiency "
+                f"({max(res)} devices)",
+                "value": round(top["efficiency"], 4),
+                "unit": "fraction",
+                "vs_baseline": round(top["efficiency"] / 0.85, 3),
+            }
+        )
+    )
+
+
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    args = [a for a in sys.argv[1:] if a != "--scaling"]
+    batch = int(args[0]) if args else 4096
+    if "--scaling" in sys.argv[1:]:
+        return scaling_main(batch)
     iters = 15
     from quadruped_locomotion_tpu.ops import qp
 

@@ -14,8 +14,6 @@ control+physics tick inside ``lax.scan``, then cross-device metrics ride
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -68,7 +66,7 @@ def make_sharded_rollout(mesh: Mesh, steps: int, dt: float = 0.0025,
     gains = VmcGains.gazebo_defaults()
     cfd = CfdParams.defaults()
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local_rollout(sims, targets):
         def tick(s, _):
@@ -98,7 +96,7 @@ def make_sharded_rollout(mesh: Mesh, steps: int, dt: float = 0.0025,
         mesh=mesh,
         in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=(P(DATA_AXIS), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 

@@ -1,0 +1,78 @@
+"""Mesh sharding + collective-reduction tests (8 virtual CPU devices).
+
+≙ BASELINE config 5: batched scenario sweep with QP KKT blocks reduced
+via collectives. Correctness here; throughput on real chips in bench.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadruped_locomotion_tpu.ops import qp
+from quadruped_locomotion_tpu.parallel import distributed as dist
+from quadruped_locomotion_tpu.parallel.mesh import make_mesh
+
+
+def _problem(batch):
+    import bench
+
+    return bench.build_batch(batch)
+
+
+def test_sharded_sweep_matches_vmap():
+    prob = _problem(16)
+    mesh = make_mesh(8)
+    sweep = dist.make_sharded_qp_sweep(mesh, iters=15)
+    sol_sh, kkt, err = sweep(*dist.shard_problem(mesh, prob))
+
+    A, b, S, W, D, d = prob
+    sol = jax.vmap(lambda *a: qp.solve_weighted_ls_qp(*a, iters=15))(
+        A, S, b, W, D, d
+    )
+    # Sharded and vmapped lowerings fuse differently, so float32 IPM
+    # iterates drift a little; both must land on the same solution to
+    # solver tolerance and equal quality.
+    np.testing.assert_allclose(
+        np.asarray(sol_sh.x), np.asarray(sol.x), atol=0.15
+    )
+    # collective reductions match the local computation (of the sharded
+    # solutions' own quality)
+    realized_sh = jnp.einsum("bij,bj->bi", A, sol_sh.x)
+    ref_err_sh = float(jnp.mean(jnp.max(jnp.abs(realized_sh - b), axis=-1)))
+    np.testing.assert_allclose(float(err), ref_err_sh, rtol=1e-3, atol=1e-5)
+    assert float(kkt) <= float(jnp.max(sol.kkt_error)) * 5 + 1e-3
+    realized = jnp.einsum("bij,bj->bi", A, sol.x)
+    ref_err = float(jnp.mean(jnp.max(jnp.abs(realized - b), axis=-1)))
+    np.testing.assert_allclose(float(err), ref_err, rtol=0.1, atol=1e-4)
+
+
+def test_pod_mesh_single_host_shape():
+    mesh = dist.make_pod_mesh()
+    assert mesh.axis_names == (dist.DCN_AXIS, dist.ICI_AXIS)
+    assert mesh.devices.shape == (1, len(jax.devices()))
+
+
+def test_pod_mesh_sweep_runs():
+    prob = _problem(16)
+    mesh = dist.make_pod_mesh()
+    sweep = dist.make_sharded_qp_sweep(mesh, iters=10)
+    sol, kkt, err = sweep(*dist.shard_problem(mesh, prob))
+    assert np.isfinite(float(kkt))
+    assert np.isfinite(float(err))
+
+
+def test_measure_scaling_smoke():
+    prob = _problem(8)
+    res = dist.measure_scaling(
+        prob, iters=10, reps=2, device_counts=[1, 2]
+    )
+    assert set(res) == {1, 2}
+    for n, r in res.items():
+        assert r["solves_per_s"] > 0
+        assert np.isfinite(r["max_kkt"])
+    assert res[1]["efficiency"] == 1.0
+    assert res[2]["efficiency"] > 0.1  # virtual CPU devices: sanity only
+
+
+def test_initialize_multihost_noop_single_host():
+    assert dist.initialize_multihost() is False
