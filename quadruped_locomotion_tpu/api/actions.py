@@ -83,6 +83,7 @@ from ..planning.steps import (
     BASE_TRAJECTORY,
     DEFAULT_LEG_MODE_DURATION,
     LEG_EE_TARGET,
+    LEG_EE_TRAJ,
     LEG_FOOTSTEP,
     LEG_JOINT_TRAJ,
     LEG_MODE,
@@ -287,6 +288,29 @@ def build_schedule(
                     "average_velocity", DEFAULT_AVERAGE_VELOCITY
                 )
                 leg_common(si, leg, et)
+            elif "end_effector_trajectory" in m:
+                et = m["end_effector_trajectory"]
+                leg = LEG_NAMES[et["name"]]
+                knots = et.get("trajectory", {}).get("knots", [])
+                if not 1 <= len(knots) <= K - 1:
+                    raise ValueError(
+                        f"end_effector_trajectory needs 1..{K - 1} knots, "
+                        f"got {len(knots)}"
+                    )
+                frame = et.get("frame", default_frame)
+                leg_type[si, leg] = LEG_EE_TRAJ
+                jt_n[si, leg] = len(knots)
+                for ki, kn in enumerate(knots):
+                    jt_t[si, leg, ki] = kn["time"]
+                    jt_p[si, leg, ki] = adapter.position(
+                        kn.get("position", [0, 0, 0]), frame
+                    )
+                for ki in range(len(knots), K):
+                    jt_t[si, leg, ki] = jt_t[si, leg, len(knots) - 1]
+                    jt_p[si, leg, ki] = jt_p[si, leg, len(knots) - 1]
+                # final stance foothold = last knot
+                leg_target[si, leg] = jt_p[si, leg, len(knots) - 1]
+                leg_common(si, leg, et)
             elif "joint_trajectory" in m:
                 jt = m["joint_trajectory"]
                 leg = LEG_NAMES[jt["name"]]
@@ -384,9 +408,9 @@ def build_schedule(
         leg_support_flag=jnp.asarray(leg_sup),
         leg_surface_normal=f(leg_norm),
         leg_mode_duration=f(leg_md),
-        joint_traj_times=f(jt_t),
-        joint_traj_pos=f(jt_p),
-        joint_traj_nknots=jnp.asarray(jt_n),
+        knot_times=f(jt_t),
+        knot_values=f(jt_p),
+        knot_n=jnp.asarray(jt_n),
         base_mode=jnp.asarray(base_mode),
         base_height=f(base_height),
         base_target_pos=f(base_tp),

@@ -66,6 +66,15 @@ class Pose(NamedTuple):
     quaternion: jax.Array  # (4,) wxyz
 
 
+def limb_length_limits(model: RobotModel):
+    """(min, max) hip-to-foot distance limits from the leg geometry
+    (≙ PoseOptimizationFunctionConstraints limb lengths; the reference
+    hard-codes values for its robot — we derive them so the max stays
+    clear of the straight-knee singularity)."""
+    reach = jnp.sqrt(model.d**2 + (model.l1 + model.l2) ** 2)
+    return 0.25 * reach, 0.95 * reach
+
+
 def default_nominal_stance(model: RobotModel, height: float = 0.4):
     """Feet below the kinematic hips at the nominal height (base frame)."""
     h = jnp.asarray(height, model.hip_pos.dtype)
@@ -174,14 +183,18 @@ def check_pose(
     pose: Pose,
     feet_world: jax.Array,
     support: jax.Array,
-    min_limb_length: float = 0.2,
-    max_limb_length: float = 0.57,
+    min_limb_length: float | None = None,
+    max_limb_length: float | None = None,
     tolerance: float = CHECK_TOLERANCE,
     com_in_base: jax.Array | None = None,
 ):
     """True if the pose keeps the CoM inside the support region and every
     stance limb within its length limits (≙ PoseConstraintsChecker)."""
     dtype = feet_world.dtype
+    if min_limb_length is None or max_limb_length is None:
+        lo, hi = limb_length_limits(model)
+        min_limb_length = lo if min_limb_length is None else min_limb_length
+        max_limb_length = hi if max_limb_length is None else max_limb_length
     if com_in_base is None:
         com_in_base = model.com_in_base.astype(dtype)
     normals, offsets = support_halfspaces(feet_world[:, :2], support, margin=0.0)
@@ -207,20 +220,31 @@ def pose_sqp(
     nominal_stance: jax.Array,
     com_in_base: jax.Array | None = None,
     com_weight: float = COM_WEIGHT,
-    min_limb_length: float = 0.2,
-    max_limb_length: float = 0.57,
+    min_limb_length: float | None = None,
+    max_limb_length: float | None = None,
     iterations: int = SQP_MAX_ITERATIONS,
     tolerance: float = SQP_TOLERANCE,
     qp_iters: int = 25,
     margin: float = 0.0,
     polygon_feet: jax.Array | None = None,
     polygon_support: jax.Array | None = None,
+    limb_feet: jax.Array | None = None,
+    limb_support: jax.Array | None = None,
 ) -> Pose:
     """Full SE(3) Gauss-Newton SQP (≙ PoseOptimizationSQP + the
     SequenceQuadraticProblemSolver loop). Fixed iteration count with a
     converged freeze; retraction is position-plus / body-frame quaternion
-    box-plus (≙ PoseParameterization::plus)."""
+    box-plus (≙ PoseParameterization::plus).
+
+    ``limb_feet``/``limb_support`` (4k,3)/(4k,) — foothold sets (stacked
+    groups of 4, leg order) whose hip-to-foot distances must respect the
+    limb-length limits at the optimized pose; defaults to the cost stance
+    plus the polygon legs."""
     dtype = feet_world.dtype
+    if min_limb_length is None or max_limb_length is None:
+        lo, hi = limb_length_limits(model)
+        min_limb_length = lo if min_limb_length is None else min_limb_length
+        max_limb_length = hi if max_limb_length is None else max_limb_length
     if com_in_base is None:
         com_in_base = model.com_in_base.astype(dtype)
     mask = support.astype(dtype)
@@ -229,6 +253,17 @@ def pose_sqp(
         polygon_feet = feet_world
     if polygon_support is None:
         polygon_support = support
+    # Limb-length constraints must hold for every leg that is in support
+    # at ANY time during the base motion: the final-stance legs at their
+    # target footholds AND the during-motion support legs at their CURRENT
+    # footholds (the reference's footholdsToReach + footholdsInSupport
+    # lists, BaseAuto.cpp:327-392) — otherwise a pose fitted to 3 target
+    # feet can over-extend the still-pinned 4th leg into the straight-knee
+    # singularity while the torso shifts.
+    if limb_feet is None:
+        limb_feet = jnp.concatenate([feet_world, polygon_feet], axis=0)
+        limb_support = jnp.concatenate([support, polygon_support], axis=0)
+    limb_mask = limb_support.astype(dtype)
     normals, offsets = support_halfspaces(
         polygon_feet[:, :2], polygon_support, margin=margin
     )
@@ -271,21 +306,24 @@ def pose_sqp(
         D_poly = normals @ Jcom_xy  # (MAX_EDGES, 6)
         d_poly = offsets - normals @ com_w[:2]
 
-        hips_w = p[None] + quat_rotate(q[None], hips_b)
-        v = hips_w - feet_world  # hip-to-foot
+        hips_b2 = jnp.concatenate(
+            [hips_b] * (limb_feet.shape[0] // 4), axis=0
+        )  # (4k,3)
+        hips_w = p[None] + quat_rotate(q[None], hips_b2)
+        v = hips_w - limb_feet  # hip-to-foot
         vlen = jnp.maximum(jnp.linalg.norm(v, axis=-1), 1e-6)
         vhat = v / vlen[:, None]
         J_hip = jax.vmap(
             lambda hb: jnp.concatenate(
                 [jnp.eye(3, dtype=dtype), -skew(quat_rotate(q, hb))], axis=1
             )
-        )(hips_b)
+        )(hips_b2)
         row = jnp.einsum("li,lij->lj", vhat, J_hip)  # d‖v‖/dδ
-        # min ≤ ‖v‖ + row·δ ≤ max  (only for stance legs)
-        D_min = row * mask[:, None]
-        d_min = (min_limb_length - vlen) * mask
-        D_max = -row * mask[:, None]
-        d_max = (vlen - max_limb_length) * mask
+        # min ≤ ‖v‖ + row·δ ≤ max  (only for legs in either support set)
+        D_min = row * limb_mask[:, None]
+        d_min = (min_limb_length - vlen) * limb_mask
+        D_max = -row * limb_mask[:, None]
+        d_max = (vlen - max_limb_length) * limb_mask
 
         D = jnp.concatenate([D_poly, D_min, D_max], axis=0)
         d = jnp.concatenate([d_poly, d_min, d_max])
@@ -319,6 +357,8 @@ def optimize_pose(
     margin: float = 0.0,
     polygon_feet: jax.Array | None = None,
     polygon_support: jax.Array | None = None,
+    limb_feet: jax.Array | None = None,
+    limb_support: jax.Array | None = None,
     **sqp_kwargs,
 ) -> Pose:
     """The BaseAuto cascade (``BaseAuto.cpp:394-400``):
@@ -339,6 +379,7 @@ def optimize_pose(
     pose = pose_sqp(
         model, pose, feet_world, support, nominal_stance, margin=margin,
         polygon_feet=polygon_feet, polygon_support=polygon_support,
+        limb_feet=limb_feet, limb_support=limb_support,
         **sqp_kwargs,
     )
     return pose

@@ -90,6 +90,7 @@ LEG_FOOTSTEP = 1
 LEG_EE_TARGET = 2
 LEG_JOINT_TRAJ = 3
 LEG_MODE = 4
+LEG_EE_TRAJ = 5
 
 DEFAULT_BASE_AVG_LIN = 0.2  # StepParameters.hpp BaseAuto average linear vel
 DEFAULT_BASE_AVG_ANG = 0.28
@@ -111,10 +112,11 @@ class StepSchedule:
     leg_support_flag: jax.Array  # (S,4) bool (LEG_MODE target support state)
     leg_surface_normal: jax.Array  # (S,4,3) world (LEG_MODE)
     leg_mode_duration: jax.Array  # (S,4) (LEG_MODE / hold durations)
-    # joint trajectories (LEG_JOINT_TRAJ), padded to MAX_KNOTS
-    joint_traj_times: jax.Array  # (S,4,K)
-    joint_traj_pos: jax.Array  # (S,4,K,3)
-    joint_traj_nknots: jax.Array  # (S,4) int32
+    # trajectory knots, padded to MAX_KNOTS: joint positions for
+    # LEG_JOINT_TRAJ, world-frame foot positions for LEG_EE_TRAJ
+    knot_times: jax.Array  # (S,4,K)
+    knot_values: jax.Array  # (S,4,K,3)
+    knot_n: jax.Array  # (S,4) int32
     # base motion
     base_mode: jax.Array  # (S,) int32
     base_height: jax.Array  # (S,) nominal height for base_auto
@@ -138,8 +140,9 @@ class StepSchedule:
     @property
     def leg_active(self) -> jax.Array:
         """Legs with a cartesian swing motion this step (S,4)."""
-        return (self.leg_motion_type == LEG_FOOTSTEP) | (
-            self.leg_motion_type == LEG_EE_TARGET
+        m = self.leg_motion_type
+        return (
+            (m == LEG_FOOTSTEP) | (m == LEG_EE_TARGET) | (m == LEG_EE_TRAJ)
         )
 
     @classmethod
@@ -168,9 +171,9 @@ class StepSchedule:
             leg_mode_duration=jnp.full(
                 (S, 4), DEFAULT_LEG_MODE_DURATION, dtype
             ),
-            joint_traj_times=z((S, 4, K), dtype),
-            joint_traj_pos=z((S, 4, K, 3), dtype),
-            joint_traj_nknots=jnp.full((S, 4), 2, jnp.int32),
+            knot_times=z((S, 4, K), dtype),
+            knot_values=z((S, 4, K, 3), dtype),
+            knot_n=jnp.full((S, 4), 2, jnp.int32),
             base_mode=z((S,), jnp.int32),
             base_height=jnp.full((S,), 0.4, dtype),
             base_target_pos=z((S, 3), dtype),
@@ -234,8 +237,9 @@ class ExecState:
     @property
     def leg_active(self) -> jax.Array:
         """Legs with a cartesian swing motion this step (4,)."""
-        return (self.leg_motion == LEG_FOOTSTEP) | (
-            self.leg_motion == LEG_EE_TARGET
+        m = self.leg_motion
+        return (
+            (m == LEG_FOOTSTEP) | (m == LEG_EE_TARGET) | (m == LEG_EE_TRAJ)
         )
 
 
@@ -283,14 +287,15 @@ def init_exec_state(feet_world, base_pos, base_quat) -> ExecState:
     )
 
 
-def _fit_joint_spline(times, pos, nknots, q_now):
-    """Per-leg joint trajectory: Hermite through the script knots with the
-    current joint position prepended at t=0 (the reference completer seeds
-    joint trajectories from the measured state, StepCompleter.cpp:36-86)."""
+def _fit_knot_spline(times, pos, nknots, v_now):
+    """Per-leg knot trajectory (joint- or task-space 3-vectors): Hermite
+    through the script knots with the current value prepended at t=0 (the
+    reference completer seeds trajectories from the measured state,
+    StepCompleter.cpp:36-86)."""
     dtype = pos.dtype
     # shift knots right by one, insert (0, q_now)
     t = jnp.concatenate([jnp.zeros((1,), dtype), times[: MAX_KNOTS - 1]])
-    v = jnp.concatenate([q_now[None, :], pos[: MAX_KNOTS - 1]])
+    v = jnp.concatenate([v_now[None, :], pos[: MAX_KNOTS - 1]])
     k = jnp.minimum(nknots + 1, MAX_KNOTS)
     # pad past the last real knot by repeating it (mask-safe for _eval)
     idx = jnp.arange(MAX_KNOTS)
@@ -339,7 +344,9 @@ def _enter_step(
     dtype = feet_world.dtype
     i = jnp.clip(idx, 0, sched.num_steps - 1)
     mtype = sched.leg_motion_type[i]
-    cartesian = (mtype == LEG_FOOTSTEP) | (mtype == LEG_EE_TARGET)
+    swingbuilt = (mtype == LEG_FOOTSTEP) | (mtype == LEG_EE_TARGET)
+    eetraj = mtype == LEG_EE_TRAJ
+    cartesian = swingbuilt | eetraj
     jointspace = mtype == LEG_JOINT_TRAJ
     legmode = mtype == LEG_MODE
     targets = sched.leg_target[i]
@@ -357,29 +364,29 @@ def _enter_step(
         )
 
     splines = jax.vmap(build)(feet_world, targets, prof, ph, av)
+    # end_effector_trajectory legs: Hermite through explicit cartesian
+    # knots instead of the profiled swing (≙ EndEffectorTrajectory.cpp)
+    knot_cart = jax.vmap(_fit_knot_spline)(
+        sched.knot_times[i], sched.knot_values[i], sched.knot_n[i],
+        feet_world,
+    )
+    sel_leg = lambda m: lambda a, b: jnp.where(
+        m.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+    )
+    splines = jax.tree_util.tree_map(sel_leg(eetraj), knot_cart, splines)
     # inactive legs: degenerate hold-position splines
     hold = _empty_splines(feet_world)
-    splines = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(
-            cartesian.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
-        ),
-        splines,
-        hold,
-    )
+    splines = jax.tree_util.tree_map(sel_leg(cartesian), splines, hold)
 
-    joint_splines = jax.vmap(_fit_joint_spline)(
-        sched.joint_traj_times[i],
-        sched.joint_traj_pos[i],
-        sched.joint_traj_nknots[i],
+    joint_splines = jax.vmap(_fit_knot_spline)(
+        sched.knot_times[i],
+        sched.knot_values[i],
+        sched.knot_n[i],
         q_now,
     )
     hold_j = _empty_splines(q_now)
     joint_splines = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(
-            jointspace.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
-        ),
-        joint_splines,
-        hold_j,
+        sel_leg(jointspace), joint_splines, hold_j
     )
 
     leg_dur = jnp.where(
@@ -405,6 +412,15 @@ def _enter_step(
     # ignore_for_pose_adaptation are dropped from both lists.
     moving = cartesian | jointspace
     keeps_support = jnp.where(legmode, sched.leg_support_flag[i], ~moving)
+    # Limb-length (reachability) constraints: under the two-phase timing
+    # every leg is planted at its CURRENT foothold while the base shifts,
+    # and the final stance must be reachable at the target pose — so both
+    # sets constrain the optimization, independent of pose-adaptation /
+    # support masks.
+    limb_feet = jnp.concatenate([final_feet, feet_world], axis=0)
+    limb_support = jnp.concatenate(
+        [~ignore_pa | cartesian, jnp.ones(4, bool)], axis=0
+    )
     auto_pose = po.optimize_pose(
         model,
         final_feet,
@@ -413,6 +429,8 @@ def _enter_step(
         margin=0.04,
         polygon_feet=feet_world,
         polygon_support=keeps_support & ~ignore_pa,
+        limb_feet=limb_feet,
+        limb_support=limb_support,
     )
     pos1 = jnp.where(
         mode == BASE_TARGET,
@@ -563,9 +581,14 @@ def advance(
     legmode = mtype == LEG_MODE
 
     # --- leg motions (writeLegMotion), delayed past the base shift ------
+    # Past the end of the schedule the executor HOLDS the last step's
+    # state — support flags, parked ignore-contact feet, joint-mode legs —
+    # exactly like the reference executor idling on an empty queue with
+    # the final State (Executor.cpp:52-132). Time keeps growing, so the
+    # motion windows are simply over and every spline clamps to its end.
     tl = tt - es2.leg_start
     in_window = (tl >= 0.0) & (tl < es2.leg_duration)
-    in_swing = cartesian & in_window & (~es2.done)
+    in_swing = cartesian & in_window
     tle = jnp.maximum(tl, 0.0)
     pos = jax.vmap(lambda sp: sp.evaluate(tle))(es2.splines)
     vel = jax.vmap(lambda sp: sp.velocity(tle))(es2.splines)
@@ -573,14 +596,14 @@ def advance(
     zero = jnp.zeros_like(pos)
     # ignore-contact legs HOLD the spline end past the motion window
     # (EndEffectorTarget with ignore_contact: the foot parks in the air).
-    track = in_swing | (cartesian & es2.leg_ignore_contact & (tl >= 0.0) & ~es2.done)
+    track = in_swing | (cartesian & es2.leg_ignore_contact & (tl >= 0.0))
     pos = jnp.where(track[:, None], pos, feet_world)
     vel = jnp.where(in_swing[:, None], vel, zero)
     acc = jnp.where(in_swing[:, None], acc, zero)
 
     # joint-space channel (LEG_JOINT_TRAJ): hold the last knot after the
     # motion window (the leg stays under joint control for the step).
-    joint_mode = jointspace & (tl >= 0.0) & (~es2.done)
+    joint_mode = jointspace & (tl >= 0.0)
     q_des = jax.vmap(lambda sp: sp.evaluate(tle))(es2.joint_splines)
     qd_des = jnp.where(
         in_window[:, None],
@@ -599,7 +622,7 @@ def advance(
         | (moving & es2.leg_ignore_contact & (tl >= 0.0))
         | (legmode & (tl >= 0.0) & ~es2.leg_support_flag)
     )
-    support = ~(nonsupport & ~es2.done)
+    support = ~nonsupport
 
     normal = jnp.where(
         legmode[:, None],

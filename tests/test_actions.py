@@ -160,3 +160,47 @@ steps:
     _, _, y_end = rpy_from_quat(ssf.sim.robot.base.quaternion)
     assert abs(float(y_end)) < 0.05  # and returned at the final knot
     assert abs(float(ssf.sim.robot.base.position[2]) - 0.4) < 0.03
+
+
+def test_ee_trajectory_follows_knots():
+    """end_effector_trajectory: the foot passes through explicit cartesian
+    knots (≙ EndEffectorTrajectory leg motion)."""
+    script = """
+adapt_coordinates:
+  - transform:
+      source_frame: foot_print
+steps:
+  - step:
+      - base_auto:
+          height: 0.4
+  - step:
+      - base_auto:
+          height: 0.4
+      - end_effector_trajectory:
+          name: LF_LEG
+          ignore_contact: true
+          ignore_for_pose_adaptation: true
+          trajectory:
+            knots:
+              - {time: 0.8, position: [0.40, 0.25, 0.15]}
+              - {time: 1.6, position: [0.50, 0.25, 0.10]}
+"""
+    ss0 = sl.init_script_state(MODEL, None, height=0.4)
+    from quadruped_locomotion_tpu.api.actions import load_action as la
+
+    sched = la(
+        script,
+        ss0.sim.robot.base.position,
+        ss0.sim.robot.base.quaternion,
+        ss0.sim.feet_world,
+    )
+    ssf, tel = jax.jit(
+        lambda ss: sl.run_schedule(MODEL, PARAMS, sched, ss, 450)
+    )(ss0)
+    assert bool(ssf.exec.done)
+    lf = np.asarray(tel["feet_world"])[:, 0, :]
+    # passed near the mid knot and ended at the final knot (held in air)
+    d_mid = np.linalg.norm(lf - np.array([0.40, 0.25, 0.15]), axis=1)
+    assert d_mid.min() < 0.04, d_mid.min()
+    np.testing.assert_allclose(lf[-1], [0.50, 0.25, 0.10], atol=0.04)
+    assert float(ssf.sim.robot.base.position[2]) > 0.3
