@@ -94,33 +94,46 @@ def scaling_main(batch: int):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--scaling"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     batch = int(args[0]) if args else 4096
     if "--scaling" in sys.argv[1:]:
         return scaling_main(batch)
     iters = 15
-    from quadruped_locomotion_tpu.ops import qp
+    from quadruped_locomotion_tpu.ops import qp, qp_pallas
 
     dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    use_pallas = on_tpu and "--xla" not in sys.argv[1:]
     print(f"device: {dev} platform={dev.platform}", file=sys.stderr)
 
     A, b, S, W, D, d = build_batch(batch)
 
-    @jax.jit
-    def solve_all(A, b, S, W, D, d):
-        return jax.vmap(
-            lambda *args: qp.solve_weighted_ls_qp(*args, iters=iters)
-        )(A, S, b, W, D, d)
+    if use_pallas:
+        # Headline path: the Pallas TPU kernel (batch lives in the vector
+        # lanes; one (8,128) tile per problem scalar → zero wasted lanes).
+        @jax.jit
+        def solve_all(A, b, S, W, D, d):
+            x, s, z, kkt = qp_pallas.solve_weighted_ls_fd_qp(
+                A, S, b, W, D, d, iters=iters
+            )
+            return x, kkt
+    else:
+        @jax.jit
+        def solve_all(A, b, S, W, D, d):
+            sol = jax.vmap(
+                lambda *args: qp.solve_weighted_ls_qp(*args, iters=iters)
+            )(A, S, b, W, D, d)
+            return sol.x, sol.kkt_error
 
     # Warmup / compile.
-    sol = solve_all(A, b, S, W, D, d)
-    jax.block_until_ready(sol.x)
+    x, kkt_all = solve_all(A, b, S, W, D, d)
+    jax.block_until_ready(x)
 
     reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
-        sol = solve_all(A, b, S, W, D, d)
-    jax.block_until_ready(sol.x)
+        out = solve_all(A, b, S, W, D, d)
+    jax.block_until_ready(out[0])
     t1 = time.perf_counter()
 
     total_solves = batch * reps
@@ -131,20 +144,43 @@ def main():
     # A few instances request infeasible wrenches (e.g. net downward pull)
     # where the friction/min-force constraints bind — there the optimal
     # wrench error is legitimately large, so the max is not a health metric.
-    kkt = float(jnp.max(sol.kkt_error))
+    kkt = float(jnp.max(kkt_all))
     realized = jnp.einsum(
-        "bij,bj->bi", A, sol.x, precision=jax.lax.Precision.HIGHEST
+        "bij,bj->bi", A, x, precision=jax.lax.Precision.HIGHEST
     )
     wrench_err = jnp.max(jnp.abs(realized - b), axis=-1)
     med_err = float(jnp.median(wrench_err))
     print(
-        f"batch={batch} iters={iters} reps={reps} "
+        f"batch={batch} iters={iters} reps={reps} backend="
+        f"{'pallas' if use_pallas else 'xla'} "
         f"batch_time={batch_ms:.3f} ms max_kkt={kkt:.2e} "
         f"median_wrench_err={med_err:.3e}",
         file=sys.stderr,
     )
     if not np.isfinite(kkt) or kkt > 1.0 or med_err > 1.0:
         print("WARNING: QP quality check failed", file=sys.stderr)
+
+    if use_pallas:
+        # Cross-check the kernel against the generic XLA IPM on a
+        # subsample: both must reach near-identical objective values.
+        sub = min(batch, 512)
+        sol = jax.jit(
+            jax.vmap(lambda *a: qp.solve_weighted_ls_qp(*a, iters=iters))
+        )(A[:sub], S[:sub], b[:sub], W[:sub], D[:sub], d[:sub])
+
+        def objective(xs, As, Ss, bs, Ws):
+            r = jnp.einsum("bij,bj->bi", As, xs) - bs
+            return jnp.einsum("bi,bi->b", r * Ss, r) + jnp.einsum(
+                "bi,bi->b", xs * Ws, xs
+            )
+
+        op = objective(x[:sub], A[:sub], S[:sub], b[:sub], W[:sub])
+        ox = objective(sol.x, A[:sub], S[:sub], b[:sub], W[:sub])
+        rel = float(jnp.median(jnp.abs(op - ox) / (1.0 + jnp.abs(ox))))
+        print(f"pallas-vs-xla median rel objective gap: {rel:.2e}",
+              file=sys.stderr)
+        if rel > 1e-4:
+            print("WARNING: backend agreement check failed", file=sys.stderr)
 
     print(
         json.dumps(
