@@ -72,8 +72,15 @@ def planner_tick(
     command: Command,
     qp_iters: int = 15,
     terrain=None,
+    telemetry_fn=None,
 ):
-    """One 100 Hz planner tick + 4 control/physics substeps."""
+    """One 100 Hz planner tick + 4 control/physics substeps.
+
+    ``telemetry_fn(state, tau, diag) -> pytree`` (optional, trace-time
+    static) collects per-control-substep extras — e.g. the golden-trace
+    tests record the controller state + QP solution of every 400 Hz tick
+    to re-solve offline against a float64 oracle.
+    """
     gait2, support, (pos_w, vel_w, acc_w), target, normals = gg.advance(
         model,
         ls.gait,
@@ -112,12 +119,16 @@ def planner_tick(
             model, sim, tau, CONTROL_DT, support=fsm.support,
             ground_height=gz,
         )
-        return sim2, diag.distribution.qp_solution.kkt_error
+        extras = () if telemetry_fn is None else telemetry_fn(state, tau, diag)
+        return sim2, (diag.distribution.qp_solution.kkt_error, extras)
 
-    sim_final, kkts = jax.lax.scan(
+    sim_final, (kkts, extras) = jax.lax.scan(
         ctrl, ls.sim, None, length=CONTROL_SUBSTEPS
     )
-    return LocomotionState(sim=sim_final, gait=gait2), jnp.max(kkts)
+    out = LocomotionState(sim=sim_final, gait=gait2)
+    if telemetry_fn is None:
+        return out, jnp.max(kkts)
+    return out, (jnp.max(kkts), extras)
 
 
 def rollout(
@@ -129,14 +140,16 @@ def rollout(
     planner_steps: int,
     qp_iters: int = 15,
     terrain=None,
+    telemetry_fn=None,
 ):
     """Full closed-loop rollout. Returns (final state, per-tick telemetry)."""
 
     def tick(ls, _):
-        ls2, kkt = planner_tick(
+        ls2, tick_out = planner_tick(
             model, params, gait_params, ls, command, qp_iters=qp_iters,
-            terrain=terrain,
+            terrain=terrain, telemetry_fn=telemetry_fn,
         )
+        kkt = tick_out if telemetry_fn is None else tick_out[0]
         telemetry = {
             "base_position": ls2.sim.robot.base.position,
             "base_quaternion": ls2.sim.robot.base.quaternion,
@@ -144,6 +157,8 @@ def rollout(
             "support": ls2.gait.phase.support,
             "qp_kkt": kkt,
         }
+        if telemetry_fn is not None:
+            telemetry["extras"] = tick_out[1]
         return ls2, telemetry
 
     return jax.lax.scan(tick, ls0, None, length=planner_steps)
