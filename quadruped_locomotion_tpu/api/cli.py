@@ -128,7 +128,16 @@ def _run_schedule(model, sim, sched, ticks, qp_iters=15):
     es = steps_mod.init_exec_state(
         sim.feet_world, sim.robot.base.position, sim.robot.base.quaternion
     )
-    ss0 = sl.ScriptState(sim=sim, exec=es)
+    import jax.numpy as jnp
+
+    from ..control.contact_fsm import init_fsm_state
+
+    ss0 = sl.ScriptState(
+        sim=sim,
+        exec=es,
+        fsm=init_fsm_state(sim.feet_world.dtype),
+        joint_i=jnp.zeros((4, 3), sim.feet_world.dtype),
+    )
     ssf, tel = jax.jit(
         lambda ss: sl.run_schedule(
             model, params, sched, ss, ticks, qp_iters=qp_iters

@@ -27,17 +27,22 @@ from . import actions as actions_mod
 
 LEG_NAMES = ("LF_LEG", "RF_LEG", "RH_LEG", "LH_LEG")
 
-# ExecuteSteps.action preempt modes (goal.preempt values)
-PREEMPT_IMMEDIATE = 0  # stop now, clear queue
-PREEMPT_STEP = 1  # finish the active step, then replace
-PREEMPT_NO = 2  # append after the queue
+# ExecuteSteps.action preempt modes (reference numeric values,
+# free_gait_msgs/action/ExecuteSteps.action)
+PREEMPT_IMMEDIATE = -1  # stop now, clear queue
+PREEMPT_STEP = 0  # default: finish the active step, then stop
+PREEMPT_NO = 1  # ignore stop requests
 
-# result / feedback status values (ExecuteSteps.action)
-RESULT_REACHED = 0
-RESULT_FAILED = 1
-FEEDBACK_EXECUTING = 0
-FEEDBACK_PAUSED = 1
-FEEDBACK_INITIALIZING = 2
+# feedback status values (ExecuteSteps.action feedback)
+PROGRESS_PAUSED = -1
+PROGRESS_UNKNOWN = 0
+PROGRESS_EXECUTING = 1
+
+# result status values (actionlib GoalStatus — the reference result
+# says "see goal status")
+RESULT_PREEMPTED = 2
+RESULT_SUCCEEDED = 3
+RESULT_ABORTED = 4
 
 
 @dataclass
@@ -92,21 +97,25 @@ class ExecuteStepsGoal:
 
 @dataclass
 class ExecuteStepsFeedback:
-    """≙ ExecuteSteps.action feedback."""
+    """≙ ExecuteSteps.action feedback (all reference fields)."""
 
-    step_index: int = 0
-    number_of_steps_in_queue: int = 0
-    phase: float = 0.0
+    step_id: str = ""
+    step_number: int = 0  # 1-based within the current goal
+    number_of_steps_in_goal: int = 0
+    queue_size: int = 0  # remaining steps incl. the current one
+    status: int = PROGRESS_EXECUTING
+    description: str = ""
     duration: float = 0.0
-    status: int = FEEDBACK_EXECUTING
+    phase: float = 0.0  # 0-1 within the current step
     active_branches: list[str] = field(default_factory=list)
 
 
 @dataclass
 class ExecuteStepsResult:
-    """≙ ExecuteSteps.action result."""
+    """≙ ExecuteSteps.action result (actionlib goal status)."""
 
-    status: int = RESULT_REACHED
+    status: int = RESULT_SUCCEEDED
+    goal_id: int = -1
 
 
 @dataclass

@@ -51,11 +51,15 @@ def swing_torques(
         v = j @ qd
         force = gains.kp * (p_des - p) + gains.kd * (v_des - v)
 
-        # q̈_des = J⁻¹ (a_des − J̇ q̇)
+        # q̈_des = J⁺ (a_des − J̇ q̇) — damped least-squares so a leg driven
+        # near the straight-knee singularity (det J → 0) degrades to zero
+        # feedforward instead of emitting NaN torques.
         _, jdot_qd = jax.jvp(
             lambda qq: leg_jacobian(model, qq, leg) @ qd, (q,), (qd,)
         )
-        qdd_des = jnp.linalg.solve(j, a_des - jdot_qd)
+        lam = jnp.asarray(1e-4, dtype)
+        jjt = j @ j.T + lam * jnp.eye(3, dtype=dtype)
+        qdd_des = j.T @ jnp.linalg.solve(jjt, a_des - jdot_qd)
         tau_id = leg_inverse_dynamics(model, q, qd, 0.5 * qdd_des, g_base, leg)
         return j.T @ force + tau_id
 
@@ -83,3 +87,39 @@ def joint_pd_gravity_torques(
     )
     tau_g = gravity_torques(model, state.q, g_base)
     return kp * (q_des - state.q) + kd * (qd_des - state.qd) + tau_g
+
+
+def joint_pid_gravity_torques(
+    model: RobotModel,
+    state: RobotState,
+    q_des: jax.Array,  # (4,3)
+    qd_des: jax.Array,  # (4,3)
+    integral: jax.Array,  # (4,3) accumulated ∫e dt, carried by the caller
+    dt: float,
+    kp: float = 300.0,
+    ki: float = 0.01,
+    kd: float = 3.0,
+    i_max: float = 10.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Full joint-space PID + gravity compensation for joint-mode legs —
+    the reference's per-joint ``control_toolbox::Pid`` with gains
+    p=300, i=0.01, d=3 (``balance_controller/config/control.yaml:17-29``).
+
+    Returns (torques (4,3), new integral (4,3)). The integral is clamped
+    to ±``i_max``/ki windup (the reference's ``i_clamp``; its config
+    leaves the ros_control default, making the i-term inert — we keep a
+    small active bound so the term behaves as the gains intend).
+    """
+    from ..model.dynamics import gravity_torques
+
+    dtype = q_des.dtype
+    e = q_des - state.q
+    integral2 = jnp.clip(
+        integral + e * dt, -i_max / max(ki, 1e-12), i_max / max(ki, 1e-12)
+    )
+    g_base = quat_inv_rotate(
+        state.base.quaternion, jnp.array([0.0, 0.0, -GRAVITY], dtype)
+    )
+    tau_g = gravity_torques(model, state.q, g_base)
+    tau = kp * e + ki * integral2 + kd * (qd_des - state.qd) + tau_g
+    return tau, integral2

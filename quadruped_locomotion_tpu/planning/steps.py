@@ -233,6 +233,16 @@ class ExecState:
     base_spline: HermiteSpline  # position, times 0..base_duration
     base_quat_knots: jax.Array  # (K,4)
     done: jax.Array  # bool — schedule exhausted
+    # Sticky per-leg mode channel (≙ the /desired_robot_state LegMode
+    # name, which the reference publisher only overwrites when the
+    # current step HAS a motion for the leg, StateRosPublisher.cpp:
+    # 355-381 — so is_footstep_ etc. persist in the controller,
+    # ros_balance_controller.cpp:860-890): the last non-NONE motion type
+    # each leg executed.
+    leg_last_motion: jax.Array  # (4,) int32 LEG_* codes
+    # Seconds each leg has continuously been in (desired) support —
+    # the normalized-stance-phase clock for the contact FSM.
+    leg_stance_time: jax.Array  # (4,)
 
     @property
     def leg_active(self) -> jax.Array:
@@ -284,6 +294,8 @@ def init_exec_state(feet_world, base_pos, base_quat) -> ExecState:
         base_spline=_hold_spline(base_pos, dtype),
         base_quat_knots=jnp.tile(base_quat[None, :], (MAX_KNOTS, 1)),
         done=jnp.asarray(False),
+        leg_last_motion=jnp.zeros(4, jnp.int32),
+        leg_stance_time=jnp.full((4,), 10.0, dtype),  # start in deep stance
     )
 
 
@@ -522,22 +534,35 @@ def advance(
     base_quat: jax.Array,
     dt,
     q_now: jax.Array | None = None,
+    active_steps: jax.Array | None = None,
 ):
     """One planner tick. Returns (new ExecState, :class:`ExecOutputs`).
 
     ``q_now`` (4,3) seeds joint trajectories at step entry; defaults to
     zeros for schedules without joint-space motions.
+
+    ``active_steps`` (dynamic scalar ≤ ``sched.num_steps``) marks how many
+    leading schedule rows are live — the action-server runtime keeps a
+    capacity-padded schedule and grows/truncates this count on goal
+    arrival / preemption without recompiling (≙ StepQueue mutation,
+    ``StepQueue.cpp:79-120`` + ``clearNextSteps``).
+
+    ``dt == 0`` is a *pause* tick (≙ ``Executor::pause``): time is frozen,
+    no step switches occur, and the outputs repeat — while the balance
+    controller keeps running on them.
     """
     dtype = feet_world.dtype
     if q_now is None:
         q_now = jnp.zeros((4, 3), dtype)
+    active = sched.num_steps if active_steps is None else active_steps
 
     # --- step switching (StepQueue::advance) ----------------------------
     t = es.time_in_step + dt
+    advancing = jnp.asarray(dt, dtype) > 0
     finished = t >= es.step_duration
     next_idx = es.step_index + 1
-    switch = finished & (next_idx < sched.num_steps) & (~es.done)
-    done = es.done | (finished & (next_idx >= sched.num_steps))
+    switch = finished & (next_idx < active) & (~es.done) & advancing
+    done = es.done | (finished & (next_idx >= active) & advancing)
 
     entered = _enter_step(
         model, sched, next_idx, feet_world, base_pos, base_quat, q_now
@@ -572,6 +597,12 @@ def advance(
             w, entered["base_quat_knots"], es.base_quat_knots
         ),
         done=done,
+        leg_last_motion=jnp.where(
+            w & (entered["leg_motion"] != LEG_NONE),
+            entered["leg_motion"],
+            es.leg_last_motion,
+        ),
+        leg_stance_time=es.leg_stance_time,  # updated below from support
     )
 
     tt = es2.time_in_step
@@ -594,9 +625,13 @@ def advance(
     vel = jax.vmap(lambda sp: sp.velocity(tle))(es2.splines)
     acc = jax.vmap(lambda sp: sp.acceleration(tle))(es2.splines)
     zero = jnp.zeros_like(pos)
-    # ignore-contact legs HOLD the spline end past the motion window
-    # (EndEffectorTarget with ignore_contact: the foot parks in the air).
-    track = in_swing | (cartesian & es2.leg_ignore_contact & (tl >= 0.0))
+    # ignore-contact legs HOLD the spline for the WHOLE step — its start
+    # (= the parked foot position at step entry) during the base-shift
+    # phase and its end past the motion window (EndEffectorTarget with
+    # ignore_contact: the foot parks in the air with real stiffness; a
+    # zero-stiffness feet_world reference would let the 6 kg leg sag and
+    # get dragged by base motion).
+    track = in_swing | (cartesian & es2.leg_ignore_contact)
     pos = jnp.where(track[:, None], pos, feet_world)
     vel = jnp.where(in_swing[:, None], vel, zero)
     acc = jnp.where(in_swing[:, None], acc, zero)
@@ -613,13 +648,16 @@ def advance(
 
     # --- support set (writeSupportLegs, Executor.cpp:290-350) -----------
     # footstep: swing during the window, support after touchdown;
-    # ee_target/joint_traj with ignore_contact: non-support all step;
+    # ee_target/joint_traj with ignore_contact: non-support for the WHOLE
+    # step, including the base-shift phase before the motion window — the
+    # foot may be parked in the air from a previous step, and loading it
+    # would hand the force-distribution QP a phantom contact;
     # joint_traj without ignore_contact: non-support during motion;
     # leg_mode: scripted support flag from motion start.
     moving = cartesian | jointspace
     nonsupport = (
         (moving & in_window)
-        | (moving & es2.leg_ignore_contact & (tl >= 0.0))
+        | (moving & es2.leg_ignore_contact)
         | (legmode & (tl >= 0.0) & ~es2.leg_support_flag)
     )
     support = ~nonsupport
@@ -647,6 +685,14 @@ def advance(
         linear_velocity=b_vel,
         angular_velocity=b_angvel,
     )
+    # Stance clock: accumulates while the leg is desired-support, resets
+    # while it swings (feeds the FSM's normalized stance phase).
+    es2 = es2.replace(
+        leg_stance_time=jnp.where(
+            support, es2.leg_stance_time + dt, 0.0
+        )
+    )
+
     out = ExecOutputs(
         support=support,
         foot_pos=pos,

@@ -19,8 +19,14 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..control.contact_fsm import apply_swing_reflexes, contact_fsm
+from ..control.contact_fsm import (
+    FsmState,
+    apply_swing_reflexes,
+    fsm_step,
+    init_fsm_state,
+)
 from ..control.locomotion import ControllerParams, locomotion_update
+from ..control.swing import joint_pd_gravity_torques
 from ..gait import gait_generator as gg
 from ..gait.phase import GaitParams
 from ..types import RobotModel
@@ -35,6 +41,7 @@ CONTROL_DT = PLANNER_DT / CONTROL_SUBSTEPS
 class LocomotionState:
     sim: simlib.SimState
     gait: gg.GaitState
+    fsm: FsmState
 
 
 @struct.dataclass
@@ -61,7 +68,9 @@ def init_locomotion(
     h = gait_params.height if height is None else height
     sim = simlib.default_stance_state(model, height=h)
     gait = gg.init_gait_state(gait_type, gait_params, sim.feet_world)
-    return LocomotionState(sim=sim, gait=gait)
+    return LocomotionState(
+        sim=sim, gait=gait, fsm=init_fsm_state(sim.feet_world.dtype)
+    )
 
 
 def planner_tick(
@@ -93,17 +102,26 @@ def planner_tick(
         terrain=terrain,
     )
 
-    def ctrl(sim, _):
-        # Per-leg contact FSM: reconcile the gait's desired support with
-        # measured contact every control tick (≙ ros_balance_controller
-        # :233-380), then apply late-TD / bump reflexes to the swing refs.
+    # Normalized gait phases for the FSM thresholds (the reference's
+    # sw_phase/st_phase ∈ [0,1] from the gait client, :1103-1132).
+    sw_norm = gait2.phase.swing_phase / jnp.maximum(gait_params.t_swing, 1e-6)
+    st_norm = gait2.phase.stance_phase / jnp.maximum(
+        gait_params.t_stance, 1e-6
+    )
+
+    def ctrl(carry, _):
+        # Per-leg contact FSM with memory: reconcile the gait's desired
+        # support with measured contact every control tick (≙
+        # ros_balance_controller :233-380, :1086-1140), then apply
+        # late-TD / bump / freeze reflexes.
+        sim, fsm_state = carry
         if terrain is None:
             gz = 0.0
         else:
             gz = jax.vmap(terrain.height_at)(sim.feet_world[:, :2])
         contact = simlib.contact_sensor(sim, ground_height=gz)
-        fsm = contact_fsm(
-            support, contact, gait2.phase.swing_phase, gait_params.t_swing
+        fsm_state2, fsm = fsm_step(
+            fsm_state, support, contact, sw_norm, st_norm, sim.robot.q
         )
         pos_r, vel_r, acc_r = apply_swing_reflexes(
             pos_w, vel_w, acc_w, sim.feet_world, fsm, ground_height=gz
@@ -115,17 +133,26 @@ def planner_tick(
             model, params, state, target, pos_r, vel_r, acc_r,
             qp_iters=qp_iters,
         )
+        # Lost-contact freeze reflex (:341-358): hold the joint posture
+        # stored at loss instead of tracking a swing reference.
+        tau_freeze = joint_pd_gravity_torques(
+            model, state, fsm.q_freeze, jnp.zeros_like(fsm.q_freeze)
+        )
+        tau = jnp.where(fsm.freeze[:, None], tau_freeze, tau)
         sim2 = simlib.step(
             model, sim, tau, CONTROL_DT, support=fsm.support,
             ground_height=gz,
         )
         extras = () if telemetry_fn is None else telemetry_fn(state, tau, diag)
-        return sim2, (diag.distribution.qp_solution.kkt_error, extras)
+        return (sim2, fsm_state2), (
+            diag.distribution.qp_solution.kkt_error,
+            extras,
+        )
 
-    sim_final, (kkts, extras) = jax.lax.scan(
-        ctrl, ls.sim, None, length=CONTROL_SUBSTEPS
+    (sim_final, fsm_final), (kkts, extras) = jax.lax.scan(
+        ctrl, (ls.sim, ls.fsm), None, length=CONTROL_SUBSTEPS
     )
-    out = LocomotionState(sim=sim_final, gait=gait2)
+    out = LocomotionState(sim=sim_final, gait=gait2, fsm=fsm_final)
     if telemetry_fn is None:
         return out, jnp.max(kkts)
     return out, (jnp.max(kkts), extras)
@@ -155,6 +182,7 @@ def rollout(
             "base_quaternion": ls2.sim.robot.base.quaternion,
             "feet_world": ls2.sim.feet_world,
             "support": ls2.gait.phase.support,
+            "leg_state": ls2.fsm.leg_state,
             "qp_kkt": kkt,
         }
         if telemetry_fn is not None:

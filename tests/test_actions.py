@@ -84,13 +84,22 @@ def test_ee_target_parks_foot_in_air():
     commanded air target, stays non-support while the base crouches and
     recovers, then a footstep returns it to the ground
     (≙ my_actions end_effectors_target_demo)."""
-    ssf, tel = run_script("end_effectors_target_demo.yaml", 2200, height=0.4)
+    ssf, tel = run_script("end_effectors_target_demo.yaml", 2600, height=0.4)
     assert bool(ssf.exec.done)
     lf_z = np.asarray(tel["feet_world"])[:, 0, 2]
     assert lf_z.max() > 0.12  # foot reached the air target
-    # foot back on the ground at the end
+    # the park is honest: while the base is crouched below 0.34 m the LF
+    # foot must still be parked in the air, not quietly load-bearing
+    base_z = np.asarray(tel["base_position"])[:, 2]
+    crouched = base_z < 0.34
+    assert crouched.any()
+    assert lf_z[crouched].min() > 0.08, lf_z[crouched].min()
+    # foot back on the ground near the scripted target at the end
     np.testing.assert_allclose(
         np.asarray(ssf.sim.feet_world[0, 2]), 0.0, atol=0.02
+    )
+    np.testing.assert_allclose(
+        np.asarray(ssf.sim.feet_world[0, :2]), [0.42, 0.25], atol=0.06
     )
     assert float(ssf.sim.robot.base.position[2]) > 0.3
 
@@ -176,6 +185,12 @@ steps:
   - step:
       - base_auto:
           height: 0.4
+      - leg_mode:
+          name: LF_LEG
+          support_leg: true
+          ignore_for_pose_adaptation: true
+          duration: 0.1
+  - step:
       - end_effector_trajectory:
           name: LF_LEG
           ignore_contact: true
@@ -195,7 +210,7 @@ steps:
         ss0.sim.feet_world,
     )
     ssf, tel = jax.jit(
-        lambda ss: sl.run_schedule(MODEL, PARAMS, sched, ss, 450)
+        lambda ss: sl.run_schedule(MODEL, PARAMS, sched, ss, 520)
     )(ss0)
     assert bool(ssf.exec.done)
     lf = np.asarray(tel["feet_world"])[:, 0, :]

@@ -77,7 +77,7 @@ def test_yaw_equivariance_of_full_loop():
     feet = quat_rotate(q0[None], sim.feet_world)
     sim = sim.replace(robot=sim.robot.replace(base=base), feet_world=feet)
     gait = gg.init_gait_state(0, gp, feet).replace(yaw_ref=yaw0)
-    ls0 = cl.LocomotionState(sim=sim, gait=gait)
+    ls0 = cl.LocomotionState(sim=sim, gait=gait, fsm=ls.fsm)
 
     v = quat_rotate(q0, jnp.array([0.2, 0.0, 0.0]))
     cmd = cl.Command(linear_velocity=v, yaw_rate=jnp.asarray(0.0))
