@@ -93,11 +93,74 @@ def scaling_main(batch: int):
     )
 
 
+def latency_main(n_ticks: int = 400):
+    """Latency mode (`bench.py --latency`): single-scenario closed-loop
+    400 Hz control-tick latency, p50/p99, vs the reference's 2.5 ms
+    real-time budget (``balance_controller_manager.cpp:47-58``).
+
+    One jitted planner tick = the full brain (gait engine + executor
+    outputs + contact FSM + VMC + force-distribution QP + torque map +
+    plant step) × 4 control substeps — i.e. 10 ms of robot time. The
+    per-control-tick latency is the measured wall time / 4, including
+    host dispatch each tick (the honest deployment path: the host loop
+    re-enters jit every planner tick, exactly like the runtime action
+    server does)."""
+    from quadruped_locomotion_tpu.control.locomotion import ControllerParams
+    from quadruped_locomotion_tpu.gait.phase import GaitParams
+    from quadruped_locomotion_tpu.rollout import closed_loop as cl
+    from quadruped_locomotion_tpu.types import RobotModel
+
+    model = RobotModel.simpledog()
+    params = ControllerParams.defaults()
+    gp = GaitParams.trot_defaults()
+    ls = cl.init_locomotion(model, gp)
+    cmd = cl.Command(
+        linear_velocity=jnp.array([0.2, 0.0, 0.0]), yaw_rate=jnp.asarray(0.0)
+    )
+
+    tick = jax.jit(
+        lambda s: cl.planner_tick(model, params, gp, s, cmd, qp_iters=15)
+    )
+    # warmup / compile
+    ls, _ = tick(ls)
+    jax.block_until_ready(ls)
+
+    times = np.empty(n_ticks)
+    for i in range(n_ticks):
+        t0 = time.perf_counter()
+        ls, kkt = tick(ls)
+        jax.block_until_ready(kkt)
+        times[i] = time.perf_counter() - t0
+    per_ctrl_ms = times * 1e3 / cl.CONTROL_SUBSTEPS
+    p50, p99 = np.percentile(per_ctrl_ms, [50, 99])
+    budget_ms = 2.5  # 400 Hz reference loop (BASELINE.md)
+    print(
+        f"ticks={n_ticks} planner_tick p50={np.percentile(times,50)*1e3:.3f} "
+        f"ms; per-400Hz-control-tick p50={p50:.4f} ms p99={p99:.4f} ms "
+        f"(budget {budget_ms} ms)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "closed-loop 400 Hz control-tick latency (p99)",
+                "value": round(p99, 4),
+                "unit": "ms",
+                # >1 = beating the 2.5 ms budget
+                "vs_baseline": round(budget_ms / p99, 3),
+                "p50_ms": round(p50, 4),
+            }
+        )
+    )
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     batch = int(args[0]) if args else 4096
     if "--scaling" in sys.argv[1:]:
         return scaling_main(batch)
+    if "--latency" in sys.argv[1:]:
+        return latency_main(int(args[0]) if args else 400)
     iters = 15
     from quadruped_locomotion_tpu.ops import qp, qp_pallas
 

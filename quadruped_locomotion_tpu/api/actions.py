@@ -240,6 +240,7 @@ def build_schedule(
     base_al = np.full((S,), 0.2, np.float64)
     base_aa = np.full((S,), 0.28, np.float64)
     base_it = np.zeros((S,), bool)
+    base_margin = np.full((S,), 0.04, np.float64)
     bk_t = np.zeros((S, K), np.float64)
     bk_p = np.zeros((S, K, 3), np.float64)
     bk_q = np.tile(np.array([1.0, 0, 0, 0]), (S, K, 1))
@@ -251,6 +252,9 @@ def build_schedule(
         leg_ipa[si, leg] = bool(
             spec.get("ignore_for_pose_adaptation", False)
         )
+        # target surface normal (all leg-motion msgs carry one)
+        if spec.get("surface_normal") is not None:
+            leg_norm[si, leg] = spec["surface_normal"]
 
     for si, entry in enumerate(steps):
         motions = entry.get("step", entry if isinstance(entry, list) else [])
@@ -349,6 +353,7 @@ def build_schedule(
                 base_it[si] = bool(
                     ba.get("ignore_timing_of_leg_motion", False)
                 )
+                base_margin[si] = ba.get("support_margin", 0.04) or 0.04
             elif "base_target" in m:
                 bt = m["base_target"]
                 tgt = bt.get("target", {})
@@ -418,6 +423,7 @@ def build_schedule(
         base_avg_lin=f(base_al),
         base_avg_ang=f(base_aa),
         base_ignore_timing=jnp.asarray(base_it),
+        base_margin=f(base_margin),
         base_knot_times=f(bk_t),
         base_knot_pos=f(bk_p),
         base_knot_quat=f(bk_q),

@@ -47,7 +47,7 @@ RESULT_ABORTED = 4
 
 @dataclass
 class FootstepMsg:
-    """≙ free_gait_msgs/Footstep."""
+    """≙ free_gait_msgs/Footstep (all fields of the reference IDL)."""
 
     name: str  # LF_LEG / RF_LEG / RH_LEG / LH_LEG
     target: tuple[float, float, float] = (0.0, 0.0, 0.0)
@@ -55,6 +55,78 @@ class FootstepMsg:
     profile_type: str = "triangle"
     profile_height: float = 0.08
     average_velocity: float = 0.65
+    surface_normal: tuple[float, float, float] | None = None
+    ignore_contact: bool = False
+    ignore_for_pose_adaptation: bool = False
+
+
+@dataclass
+class EndEffectorTargetMsg:
+    """≙ free_gait_msgs/EndEffectorTarget (position target; the
+    velocity/acceleration/force target arrays of the reference IDL are
+    unused by its own stack — StepRosConverter only consumes
+    target_position)."""
+
+    name: str
+    target_position: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    frame: str | None = None
+    average_velocity: float = 0.65
+    surface_normal: tuple[float, float, float] | None = None
+    ignore_contact: bool = False
+    ignore_for_pose_adaptation: bool = False
+
+
+@dataclass
+class TrajectoryKnotMsg:
+    """One knot of a cartesian / SE(3) trajectory (≙ one
+    MultiDOFJointTrajectoryPoint)."""
+
+    time: float = 0.0
+    position: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    orientation_rpy: tuple[float, float, float] | None = None  # base only
+
+
+@dataclass
+class EndEffectorTrajectoryMsg:
+    """≙ free_gait_msgs/EndEffectorTrajectory."""
+
+    name: str
+    knots: list[TrajectoryKnotMsg] = field(default_factory=list)
+    frame: str | None = None
+    surface_normal: tuple[float, float, float] | None = None
+    ignore_contact: bool = False
+    ignore_for_pose_adaptation: bool = False
+
+
+@dataclass
+class JointKnotMsg:
+    """One knot of a per-joint trajectory (≙ JointTrajectoryPoint)."""
+
+    time: float = 0.0
+    positions: tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+
+@dataclass
+class JointTargetMsg:
+    """≙ free_gait_msgs/JointTarget: one joint-space target point,
+    reached after ``duration`` (time_from_start of the reference's
+    JointTrajectoryPoint)."""
+
+    name: str
+    positions: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    duration: float = 1.0
+    surface_normal: tuple[float, float, float] | None = None
+    ignore_contact: bool = False
+
+
+@dataclass
+class JointTrajectoryMsg:
+    """≙ free_gait_msgs/JointTrajectory."""
+
+    name: str
+    knots: list[JointKnotMsg] = field(default_factory=list)
+    surface_normal: tuple[float, float, float] | None = None
+    ignore_contact: bool = False
 
 
 @dataclass
@@ -64,6 +136,8 @@ class BaseAutoMsg:
     height: float = 0.4
     average_linear_velocity: float = 0.2
     average_angular_velocity: float = 0.28
+    ignore_timing_of_leg_motion: bool = False
+    support_margin: float = 0.04
 
 
 @dataclass
@@ -75,15 +149,50 @@ class BaseTargetMsg:
     frame: str | None = None
     average_linear_velocity: float = 0.2
     average_angular_velocity: float = 0.28
+    ignore_timing_of_leg_motion: bool = False
+
+
+@dataclass
+class BaseTrajectoryMsg:
+    """≙ free_gait_msgs/BaseTrajectory (MultiDOFJointTrajectory knots)."""
+
+    knots: list[TrajectoryKnotMsg] = field(default_factory=list)
+    frame: str | None = None
+
+
+@dataclass
+class CustomCommandMsg:
+    """≙ free_gait_msgs/CustomCommand: opaque command held for
+    ``duration`` (the executor treats it as a stance hold, matching the
+    reference's use as an adapter-specific pass-through)."""
+
+    type: str = ""
+    duration: float = 1.0
+    command: str = ""
 
 
 @dataclass
 class StepMsg:
-    """≙ free_gait_msgs/Step: per-limb motions + optional base motion."""
+    """≙ free_gait_msgs/Step: per-limb motions (one type per leg) +
+    optional base motion + custom commands — full Step.msg coverage."""
 
+    id: str = ""
     footsteps: list[FootstepMsg] = field(default_factory=list)
+    leg_modes: list["LegModeMsg"] = field(default_factory=list)
+    end_effector_targets: list[EndEffectorTargetMsg] = field(
+        default_factory=list
+    )
+    end_effector_trajectories: list[EndEffectorTrajectoryMsg] = field(
+        default_factory=list
+    )
+    joint_targets: list[JointTargetMsg] = field(default_factory=list)
+    joint_trajectories: list[JointTrajectoryMsg] = field(
+        default_factory=list
+    )
     base_auto: BaseAutoMsg | None = None
     base_target: BaseTargetMsg | None = None
+    base_trajectory: BaseTrajectoryMsg | None = None
+    custom_commands: list[CustomCommandMsg] = field(default_factory=list)
 
 
 @dataclass
@@ -120,12 +229,18 @@ class ExecuteStepsResult:
 
 @dataclass
 class LegModeMsg:
-    """≙ free_gait_msgs/LegMode: support flag + phase + surface normal."""
+    """≙ free_gait_msgs/LegMode: support flag + phase + surface normal.
+
+    Doubles as a Step.msg leg motion (mode-switch with ``duration``) and
+    a RobotState.msg per-leg status slot (``phase``), exactly like the
+    reference's shared LegMode IDL."""
 
     support_leg: bool = True
     phase: float = 0.0
     name: str = ""
     surface_normal: tuple[float, float, float] = (0.0, 0.0, 1.0)
+    duration: float = 0.0  # 0 → executor default
+    ignore_for_pose_adaptation: bool = False
 
 
 @dataclass
@@ -158,8 +273,16 @@ _MSG_TYPES = {
     c.__name__: c
     for c in (
         FootstepMsg,
+        EndEffectorTargetMsg,
+        EndEffectorTrajectoryMsg,
+        TrajectoryKnotMsg,
+        JointKnotMsg,
+        JointTargetMsg,
+        JointTrajectoryMsg,
         BaseAutoMsg,
         BaseTargetMsg,
+        BaseTrajectoryMsg,
+        CustomCommandMsg,
         StepMsg,
         ExecuteStepsGoal,
         ExecuteStepsFeedback,
@@ -226,6 +349,14 @@ def goal_to_schedule(
         doc["adapt_coordinates"] = [
             {"transform": {"source_frame": goal.source_frame}}
         ]
+    def common(m, spec):
+        if spec.surface_normal is not None:
+            m["surface_normal"] = list(spec.surface_normal)
+        if spec.ignore_contact:
+            m["ignore_contact"] = True
+        if getattr(spec, "ignore_for_pose_adaptation", False):
+            m["ignore_for_pose_adaptation"] = True
+
     for step in goal.steps:
         motions = []
         for fs in step.footsteps:
@@ -238,7 +369,78 @@ def goal_to_schedule(
             }
             if fs.frame:
                 m["target"]["frame"] = fs.frame
+            common(m, fs)
             motions.append({"footstep": m})
+        for lm in step.leg_modes:
+            m = {
+                "name": lm.name,
+                "support_leg": lm.support_leg,
+                "surface_normal": list(lm.surface_normal),
+            }
+            if lm.duration:
+                m["duration"] = lm.duration
+            if lm.ignore_for_pose_adaptation:
+                m["ignore_for_pose_adaptation"] = True
+            motions.append({"leg_mode": m})
+        for et in step.end_effector_targets:
+            m = {
+                "name": et.name,
+                "average_velocity": et.average_velocity,
+                "target_position": {"position": list(et.target_position)},
+            }
+            if et.frame:
+                m["target_position"]["frame"] = et.frame
+            common(m, et)
+            motions.append({"end_effector_target": m})
+        for etr in step.end_effector_trajectories:
+            m = {
+                "name": etr.name,
+                "trajectory": {
+                    "knots": [
+                        {"time": k.time, "position": list(k.position)}
+                        for k in etr.knots
+                    ]
+                },
+            }
+            if etr.frame:
+                m["frame"] = etr.frame
+            common(m, etr)
+            motions.append({"end_effector_trajectory": m})
+        for jt in step.joint_targets:
+            # JointTarget ≡ a single-knot joint trajectory reached at
+            # `duration` (the reference's JointTrajectoryPoint
+            # time_from_start).
+            m = {
+                "name": jt.name,
+                "trajectory": {
+                    "knots": [
+                        {
+                            "time": jt.duration,
+                            "positions": list(jt.positions),
+                        }
+                    ]
+                },
+            }
+            if jt.surface_normal is not None:
+                m["surface_normal"] = list(jt.surface_normal)
+            if jt.ignore_contact:
+                m["ignore_contact"] = True
+            motions.append({"joint_trajectory": m})
+        for jtr in step.joint_trajectories:
+            m = {
+                "name": jtr.name,
+                "trajectory": {
+                    "knots": [
+                        {"time": k.time, "positions": list(k.positions)}
+                        for k in jtr.knots
+                    ]
+                },
+            }
+            if jtr.surface_normal is not None:
+                m["surface_normal"] = list(jtr.surface_normal)
+            if jtr.ignore_contact:
+                m["ignore_contact"] = True
+            motions.append({"joint_trajectory": m})
         if step.base_auto is not None:
             ba = step.base_auto
             motions.append(
@@ -247,6 +449,9 @@ def goal_to_schedule(
                         "height": ba.height,
                         "average_linear_velocity": ba.average_linear_velocity,
                         "average_angular_velocity": ba.average_angular_velocity,
+                        "ignore_timing_of_leg_motion":
+                            ba.ignore_timing_of_leg_motion,
+                        "support_margin": ba.support_margin,
                     }
                 }
             )
@@ -264,6 +469,30 @@ def goal_to_schedule(
                         "target": tgt,
                         "average_linear_velocity": bt.average_linear_velocity,
                         "average_angular_velocity": bt.average_angular_velocity,
+                        "ignore_timing_of_leg_motion":
+                            bt.ignore_timing_of_leg_motion,
+                    }
+                }
+            )
+        elif step.base_trajectory is not None:
+            btr = step.base_trajectory
+            knots = []
+            for k in btr.knots:
+                kn = {"time": k.time, "position": list(k.position)}
+                if k.orientation_rpy is not None:
+                    kn["orientation"] = list(k.orientation_rpy)
+                knots.append(kn)
+            m = {"trajectory": {"knots": knots}}
+            if btr.frame:
+                m["frame"] = btr.frame
+            motions.append({"base_trajectory": m})
+        for cc in step.custom_commands:
+            motions.append(
+                {
+                    "custom_command": {
+                        "type": cc.type,
+                        "duration": cc.duration,
+                        "command": cc.command,
                     }
                 }
             )

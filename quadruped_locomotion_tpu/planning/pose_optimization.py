@@ -187,9 +187,19 @@ def check_pose(
     max_limb_length: float | None = None,
     tolerance: float = CHECK_TOLERANCE,
     com_in_base: jax.Array | None = None,
+    polygon_feet: jax.Array | None = None,
+    polygon_support: jax.Array | None = None,
+    limb_feet: jax.Array | None = None,
+    limb_support: jax.Array | None = None,
 ):
     """True if the pose keeps the CoM inside the support region and every
-    stance limb within its length limits (≙ PoseConstraintsChecker)."""
+    stance limb within its length limits (≙ PoseConstraintsChecker).
+
+    Like the optimization stages, the polygon may be checked against a
+    DIFFERENT stance than the limb lengths (the reference checker gets
+    ``setStance`` for limbs and ``setSupportStance`` for the region,
+    ``BaseAuto.cpp:150-156``). Defaults: ``feet_world``/``support`` for
+    both."""
     dtype = feet_world.dtype
     if min_limb_length is None or max_limb_length is None:
         lo, hi = limb_length_limits(model)
@@ -197,18 +207,30 @@ def check_pose(
         max_limb_length = hi if max_limb_length is None else max_limb_length
     if com_in_base is None:
         com_in_base = model.com_in_base.astype(dtype)
-    normals, offsets = support_halfspaces(feet_world[:, :2], support, margin=0.0)
+    if polygon_feet is None:
+        polygon_feet = feet_world
+    if polygon_support is None:
+        polygon_support = support
+    if limb_feet is None:
+        limb_feet = feet_world
+    if limb_support is None:
+        limb_support = support
+    normals, offsets = support_halfspaces(
+        polygon_feet[:, :2], polygon_support, margin=0.0
+    )
     com_w = pose.position + quat_rotate(pose.quaternion, com_in_base)
     inside = jnp.all(normals @ com_w[:2] >= offsets - tolerance)
 
-    hips_w = pose.position + quat_rotate(
-        pose.quaternion[None], model.hip_pos.astype(dtype)
-    )
-    lengths = jnp.linalg.norm(feet_world - hips_w, axis=-1)
+    # Limb lengths from each foot's OWN hip: limb_feet stacks (k·4, 3)
+    # foothold sets (k repetitions of the 4-leg layout).
+    n_hips = limb_feet.shape[0] // 4
+    hips = jnp.tile(model.hip_pos.astype(dtype), (n_hips, 1))
+    hips_w = pose.position + quat_rotate(pose.quaternion[None], hips)
+    lengths = jnp.linalg.norm(limb_feet - hips_w, axis=-1)
     ok_len = (lengths >= min_limb_length - tolerance) & (
         lengths <= max_limb_length + tolerance
     )
-    ok_len = jnp.all(ok_len | ~support)
+    ok_len = jnp.all(ok_len | ~limb_support)
     return inside & ok_len
 
 
@@ -359,27 +381,57 @@ def optimize_pose(
     polygon_support: jax.Array | None = None,
     limb_feet: jax.Array | None = None,
     limb_support: jax.Array | None = None,
+    return_status: bool = False,
     **sqp_kwargs,
 ) -> Pose:
     """The BaseAuto cascade (``BaseAuto.cpp:394-400``):
-    Geometric init → position QP → SE(3) SQP refinement.
+    Geometric init → position QP → **ConstraintsChecker** → SE(3) SQP.
+
+    Exactly like ``BaseAuto::optimizePose``, the expensive SQP stage runs
+    ONLY when the QP pose fails the constraints check (CoM in polygon +
+    limb lengths, 0.02 m tolerance) — under plain jit ``lax.cond`` skips
+    it entirely on the common path; under vmap both branches execute and
+    the check selects per instance.
 
     ``polygon_feet``/``polygon_support`` let the caller constrain the CoM
     to a DIFFERENT region than the cost stance — BaseAuto optimizes the
     nominal-stance cost over the footholds to reach while constraining to
     the legs that stay in support during the motion (:327-392).
+
+    With ``return_status=True`` also returns the final checker verdict —
+    the reference's ``optimizePose`` success flag that
+    ``tolerateFailingOptimization_`` gates on (``BaseAuto.cpp:166-178``):
+    callers that don't tolerate failure must discard the pose when it is
+    False; the executor (``planning/steps.py``) tolerates and proceeds,
+    matching the brain node's configuration.
     """
     if nominal_stance is None:
         nominal_stance = default_nominal_stance(model, height)
     pose = geometric_pose(feet_world, support, nominal_stance)
-    pose = pose_qp(
+    pose_q = pose_qp(
         model, pose, feet_world, support, nominal_stance, margin=margin,
         polygon_feet=polygon_feet, polygon_support=polygon_support,
     )
-    pose = pose_sqp(
-        model, pose, feet_world, support, nominal_stance, margin=margin,
+    qp_ok = check_pose(
+        model, pose_q, feet_world, support,
         polygon_feet=polygon_feet, polygon_support=polygon_support,
         limb_feet=limb_feet, limb_support=limb_support,
-        **sqp_kwargs,
     )
-    return pose
+
+    def run_sqp(p0):
+        return pose_sqp(
+            model, p0, feet_world, support, nominal_stance, margin=margin,
+            polygon_feet=polygon_feet, polygon_support=polygon_support,
+            limb_feet=limb_feet, limb_support=limb_support,
+            **sqp_kwargs,
+        )
+
+    pose = jax.lax.cond(qp_ok, lambda p: p, run_sqp, pose_q)
+    if not return_status:
+        return pose
+    ok = qp_ok | check_pose(
+        model, pose, feet_world, support,
+        polygon_feet=polygon_feet, polygon_support=polygon_support,
+        limb_feet=limb_feet, limb_support=limb_support,
+    )
+    return pose, ok

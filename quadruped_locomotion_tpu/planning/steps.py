@@ -125,6 +125,7 @@ class StepSchedule:
     base_avg_lin: jax.Array  # (S,)
     base_avg_ang: jax.Array  # (S,)
     base_ignore_timing: jax.Array  # (S,) bool — legs+base simultaneous
+    base_margin: jax.Array  # (S,) support-polygon margin (BaseAuto.msg)
     # base trajectory knots (BASE_TRAJECTORY), knot 0 = pose at step entry
     base_knot_times: jax.Array  # (S,K)
     base_knot_pos: jax.Array  # (S,K,3)
@@ -183,6 +184,7 @@ class StepSchedule:
             base_avg_lin=jnp.full((S,), DEFAULT_BASE_AVG_LIN, dtype),
             base_avg_ang=jnp.full((S,), DEFAULT_BASE_AVG_ANG, dtype),
             base_ignore_timing=z((S,), bool),
+            base_margin=jnp.full((S,), 0.04, dtype),
             base_knot_times=z((S, K), dtype),
             base_knot_pos=z((S, K, 3), dtype),
             base_knot_quat=jnp.tile(
@@ -438,7 +440,7 @@ def _enter_step(
         final_feet,
         ~ignore_pa,
         height=sched.base_height[i],
-        margin=0.04,
+        margin=sched.base_margin[i],
         polygon_feet=feet_world,
         polygon_support=keeps_support & ~ignore_pa,
         limb_feet=limb_feet,

@@ -100,9 +100,9 @@ class FreeGaitActionServer:
         self.ticks = 0
         self.last_feedback: msg.ExecuteStepsFeedback | None = None
 
-        def tick_fn(sched, ss, active, dt):
+        def tick_fn(mdl, sched, ss, active, dt):
             return sl.planner_tick(
-                model,
+                mdl,
                 self.params,
                 sched,
                 ss,
@@ -111,6 +111,8 @@ class FreeGaitActionServer:
                 dt=dt,
             )
 
+        # model is a jit *argument* (not a closure) so live model edits —
+        # SetLimbConfigure flipping IK branches — apply without recompiles.
         self._tick_fn = jax.jit(tick_fn)
 
     # ------------------------------------------------------------------
@@ -177,6 +179,19 @@ class FreeGaitActionServer:
             sim.robot.base.quaternion,
             sim.feet_world,
         )
+        return self.submit_rows(
+            rows, goal.preempt, feedback_cb=feedback_cb, result_cb=result_cb
+        )
+
+    def submit_rows(
+        self,
+        rows: StepSchedule,
+        preempt: int = msg.PREEMPT_STEP,
+        feedback_cb=None,
+        result_cb=None,
+    ) -> int:
+        """Append precompiled schedule rows as a goal (the shared back end
+        of :meth:`submit_goal` and the action-loader services)."""
         n_new = rows.num_steps
 
         # Trailing pure-BaseAuto replacement (:110-117): if the queue has
@@ -207,7 +222,7 @@ class FreeGaitActionServer:
                 exec=self.state.exec.replace(done=jnp.asarray(False))
             )
 
-        self.preemption_type = goal.preempt
+        self.preemption_type = preempt
         g = _Goal(
             goal_id=self._next_goal_id,
             first_row=self._active - n_new,
@@ -250,6 +265,69 @@ class FreeGaitActionServer:
         self.paused = should_pause
 
     # ------------------------------------------------------------------
+    # loader / configuration services
+    # ------------------------------------------------------------------
+
+    def send_action(
+        self,
+        action_id: str,
+        registry=None,
+        preempt: int = msg.PREEMPT_STEP,
+        feedback_cb=None,
+        result_cb=None,
+    ) -> int:
+        """≙ ``SendAction.srv``: compile a registry action against the
+        current robot state and queue it. Returns the goal id (the
+        service's 'successfully started' result maps to not raising)."""
+        from ..api.action_loader import default_registry
+
+        registry = registry or default_registry()
+        sim = self.state.sim
+        rows = registry.compile(
+            action_id,
+            sim.robot.base.position,
+            sim.robot.base.quaternion,
+            sim.feet_world,
+        )
+        return self.submit_rows(
+            rows, preempt, feedback_cb=feedback_cb, result_cb=result_cb
+        )
+
+    def send_action_sequence(
+        self,
+        action_ids,
+        registry=None,
+        preempt: int = msg.PREEMPT_STEP,
+    ) -> list[int]:
+        """≙ ``SendActionSequence.srv``: queue several actions
+        back-to-back, each as its own goal (its own result). Also accepts
+        a sequence-collection id in place of the list."""
+        from ..api.action_loader import default_registry
+
+        registry = registry or default_registry()
+        if isinstance(action_ids, str):
+            coll = registry.collections[action_ids]
+            action_ids = list(coll.action_ids)
+        return [
+            self.send_action(a, registry=registry, preempt=preempt)
+            for a in action_ids
+        ]
+
+    def set_limb_configure(self, configure: str) -> bool:
+        """≙ ``SetLimbConfigure.srv`` → ``QuadrupedState::setLimbConfigure``
+        (``quadruped_state.cpp:369-399``): switch the per-leg IK branch
+        ('<<', '<>', '><', '>>'). Applies on the next tick (the model is
+        a jit argument, so no recompile)."""
+        from ..types import limb_configure_branches
+
+        try:
+            branch = limb_configure_branches(configure)
+        except KeyError:
+            return False
+        self.model = self.model.replace(ik_branch=branch)
+        return True
+
+    # ------------------------------------------------------------------
     # the runtime loop
     # ------------------------------------------------------------------
 
@@ -260,6 +338,7 @@ class FreeGaitActionServer:
         dtype = self.state.sim.feet_world.dtype
         dt = jnp.asarray(0.0 if self.paused else sl.PLANNER_DT, dtype)
         self.state, _kkt = self._tick_fn(
+            self.model,
             self._sched,
             self.state,
             jnp.asarray(self._active, jnp.int32),

@@ -32,6 +32,24 @@ IK_BRANCH = {"OUT_LEFT": 0, "IN_RIGHT": 1, "IN_LEFT": 2, "OUT_RIGHT": 3}
 # LF=IN_LEFT, RF=OUT_LEFT, RH=IN_LEFT, LH=OUT_LEFT.
 DEFAULT_LIMB_CONFIG = ("IN_LEFT", "OUT_LEFT", "IN_LEFT", "OUT_LEFT")
 
+# The four whole-robot configure strings of QuadrupedState::setLimbConfigure
+# (quadruped_state.cpp:369-399), in OUR leg order (LF, RF, RH, LH).
+LIMB_CONFIGURE = {
+    "<<": ("IN_LEFT", "OUT_LEFT", "OUT_LEFT", "IN_LEFT"),
+    "<>": ("OUT_LEFT", "IN_LEFT", "OUT_LEFT", "IN_LEFT"),
+    "><": DEFAULT_LIMB_CONFIG,
+    ">>": ("OUT_LEFT", "IN_LEFT", "IN_LEFT", "OUT_LEFT"),
+}
+
+
+def limb_configure_branches(configure: str):
+    """configure string → (4,) int32 IK-branch array (raises KeyError on
+    unknown strings, ≙ setLimbConfigure returning false)."""
+    import jax.numpy as jnp
+
+    names = LIMB_CONFIGURE[configure]
+    return jnp.asarray([IK_BRANCH[n] for n in names], jnp.int32)
+
 
 @struct.dataclass
 class RobotModel:

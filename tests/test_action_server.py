@@ -217,3 +217,51 @@ def test_queue_compaction_past_capacity(server_factory):
     assert all(g.done for g in srv._goals)
     base = np.asarray(srv.state.sim.robot.base.position)
     assert np.isfinite(base).all() and base[2] > 0.3
+
+
+def test_set_limb_configure_service(server_factory):
+    """≙ SetLimbConfigure.srv → QuadrupedState::setLimbConfigure
+    (quadruped_state.cpp:369-399): flips the live IK branches; bad
+    strings report failure."""
+    from quadruped_locomotion_tpu.types import IK_BRANCH
+
+    srv = server_factory()
+    assert srv.set_limb_configure(">>")
+    assert np.array_equal(
+        np.asarray(srv.model.ik_branch),
+        [IK_BRANCH["OUT_LEFT"], IK_BRANCH["IN_LEFT"],
+         IK_BRANCH["IN_LEFT"], IK_BRANCH["OUT_LEFT"]],
+    )
+    assert not srv.set_limb_configure("??")
+    # back to the default and the executor still runs
+    assert srv.set_limb_configure("><")
+    srv.submit_goal(_base_auto_goal())
+    srv.run_until_done(max_ticks=400)
+    assert bool(srv.state.exec.done)
+
+
+def test_send_action_service(server_factory):
+    """≙ SendAction.srv: a registry action id compiles against the live
+    state and executes to success."""
+    results = []
+    srv = server_factory()
+    gid = srv.send_action(
+        "base_rotate_yaw", result_cb=lambda r: results.append(r)
+    )
+    srv.run_until_done(max_ticks=2000)
+    assert bool(srv.state.exec.done)
+    res = srv.result_of(gid)
+    assert res is not None and res.status == msg.RESULT_SUCCEEDED
+    assert results and results[0].status == msg.RESULT_SUCCEEDED
+
+
+def test_send_action_sequence_service(server_factory):
+    """≙ SendActionSequence.srv: a sequence collection queues each action
+    as its own goal; all succeed in order."""
+    srv = server_factory()
+    gids = srv.send_action_sequence("sit_stand")
+    assert len(gids) == 2
+    srv.run_until_done(max_ticks=4000)
+    for gid in gids:
+        res = srv.result_of(gid)
+        assert res is not None and res.status == msg.RESULT_SUCCEEDED, gid
