@@ -203,25 +203,37 @@ def main():
     solves_per_s = total_solves / (t1 - t0)
     batch_ms = (t1 - t0) / reps * 1e3
 
-    # Sanity: KKT convergence + wrench tracking on the (feasible) median.
-    # A few instances request infeasible wrenches (e.g. net downward pull)
-    # where the friction/min-force constraints bind — there the optimal
-    # wrench error is legitimately large, so the max is not a health metric.
-    kkt = float(jnp.max(kkt_all))
+    # Health: KKT percentiles (honest point residuals incl. the active-set
+    # polish) + wrench tracking. A few instances request infeasible
+    # wrenches (e.g. net downward pull) where the friction/min-force
+    # constraints bind — there the optimal wrench error is legitimately
+    # large, so wrench error is gated at the median, KKT at p99/max.
+    kkt_np = np.asarray(kkt_all)
+    kkt_p50, kkt_p99 = (
+        float(np.percentile(kkt_np, 50)),
+        float(np.percentile(kkt_np, 99)),
+    )
+    kkt_max = float(kkt_np.max())
     realized = jnp.einsum(
         "bij,bj->bi", A, x, precision=jax.lax.Precision.HIGHEST
     )
-    wrench_err = jnp.max(jnp.abs(realized - b), axis=-1)
-    med_err = float(jnp.median(wrench_err))
+    wrench_err = np.asarray(jnp.max(jnp.abs(realized - b), axis=-1))
+    med_err = float(np.median(wrench_err))
+    p99_err = float(np.percentile(wrench_err, 99))
     print(
         f"batch={batch} iters={iters} reps={reps} backend="
         f"{'pallas' if use_pallas else 'xla'} "
-        f"batch_time={batch_ms:.3f} ms max_kkt={kkt:.2e} "
-        f"median_wrench_err={med_err:.3e}",
+        f"batch_time={batch_ms:.3f} ms kkt p50={kkt_p50:.2e} "
+        f"p99={kkt_p99:.2e} max={kkt_max:.2e} "
+        f"wrench_err p50={med_err:.3e} p99={p99_err:.3e}",
         file=sys.stderr,
     )
-    if not np.isfinite(kkt) or kkt > 1.0 or med_err > 1.0:
-        print("WARNING: QP quality check failed", file=sys.stderr)
+    if not np.isfinite(kkt_max) or kkt_p99 > 1e-4 or med_err > 0.1:
+        print(
+            "WARNING: QP quality gate failed "
+            f"(need p99 KKT < 1e-4, median wrench err < 0.1)",
+            file=sys.stderr,
+        )
 
     if use_pallas:
         # Cross-check the kernel against the generic XLA IPM on a

@@ -97,6 +97,11 @@ def cmd_preview(args) -> int:
             }
         )
     )
+    if getattr(args, "plot", None):
+        from ..viz import plot_preview
+
+        plot_preview(batch, args.plot, title=f"preview: {args.action}")
+        print(f"preview plot saved to {args.plot}", file=sys.stderr)
     if args.out:
         np.savez(
             args.out,
@@ -157,6 +162,11 @@ def cmd_run(args) -> int:
     )
     ticks = args.ticks or int(sched.num_steps * 4.0 / 0.01)
     ssf, tel = _run_schedule(model, sim, sched, ticks)
+    if getattr(args, "plot", None):
+        from ..viz import plot_telemetry
+
+        plot_telemetry(tel, args.plot, title=f"run: {args.action}")
+        print(f"telemetry plot saved to {args.plot}", file=sys.stderr)
     done = bool(np.asarray(tel["done"])[-1])
     print(
         json.dumps(
@@ -220,6 +230,14 @@ def _gait(args, pace: bool) -> int:
         lambda ls: cl.rollout(model, params, gp, ls, cmd, ticks)
     )(ls0)
     base = np.asarray(tel["base_position"])
+    if getattr(args, "plot", None):
+        from ..viz import plot_telemetry
+
+        plot_telemetry(
+            tel, args.plot,
+            title=f"{'pace' if pace else 'trot'} vx={args.vx}",
+        )
+        print(f"telemetry plot saved to {args.plot}", file=sys.stderr)
     out = {
         "gait": "pace" if pace else "trot",
         "seconds": args.seconds,
@@ -277,6 +295,7 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("action")
         sp.add_argument("--ticks", type=int, default=None)
         sp.add_argument("--height", type=float, default=0.38)
+        sp.add_argument("--plot", default=None, help="save PNG plot")
         if name == "preview":
             sp.add_argument("--out", default=None, help="save StateBatch .npz")
         sp.set_defaults(fn=fn)
@@ -292,6 +311,7 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--vy", type=float, default=0.0)
         sp.add_argument("--wz", type=float, default=0.0)
         sp.add_argument("--seconds", type=float, default=4.0)
+        sp.add_argument("--plot", default=None, help="save PNG plot")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("update")

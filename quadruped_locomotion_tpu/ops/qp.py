@@ -73,6 +73,27 @@ def solve_qp(
         return _solve_qp_impl(G, g, D, d, C, c, iters, tol)
 
 
+def _honest_kkt(G, g, D, d, x, z, scale_g, scale_d, C=None, c=None, y=None):
+    """Full KKT residual of a candidate (x, z): stationarity, primal
+    violation, mean complementarity — the same normalization as the loop's
+    convergence test, but measuring the point itself (no slack variable)."""
+    mi = D.shape[-2]
+    stat = G @ x + g - D.T @ z
+    if C is not None:
+        stat = stat - C.T @ y
+    slack = D @ x - d
+    viol = jnp.max(jnp.maximum(-slack, 0.0))
+    comp = jnp.dot(z, jnp.abs(slack)) / mi
+    dual = jnp.max(jnp.maximum(-z, 0.0)) / (1.0 + jnp.max(jnp.abs(z)))
+    kkt = jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(stat)) / scale_g, dual),
+        jnp.maximum(viol / scale_d, comp / scale_g),
+    )
+    if C is not None:
+        kkt = jnp.maximum(kkt, jnp.max(jnp.abs(C @ x - c)) / scale_d)
+    return kkt
+
+
 def _solve_qp_impl(G, g, D, d, C, c, iters, tol) -> QpSolution:
     dtype = G.dtype
     n = G.shape[-1]
@@ -106,7 +127,7 @@ def _solve_qp_impl(G, g, D, d, C, c, iters, tol) -> QpSolution:
     z0 = jnp.ones((mi,), dtype)
 
     def body(carry, _):
-        x, s, z, y, done, it_count, kkt = carry
+        x, s, z, y, best, done, it_count, kkt = carry
 
         r_d = G @ x + g - D.T @ z
         if has_eq:
@@ -118,20 +139,30 @@ def _solve_qp_impl(G, g, D, d, C, c, iters, tol) -> QpSolution:
         s_safe = jnp.maximum(s, s_floor)
         zs = z / s_safe
         M = G_reg + (D.T * zs) @ D
-        chol = jnp.linalg.cholesky(M)
+        # Jacobi (diagonal) equilibration before the Cholesky: in the IPM
+        # endgame z/s of active rows reaches 1/eps and cond(M) with it;
+        # symmetric diagonal scaling keeps the f32 factorization finite
+        # far deeper into the endgame.
+        dsc = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(M), s_floor))
+        chol = jnp.linalg.cholesky(M * dsc[:, None] * dsc[None, :])
+
+        def msolve(b):
+            """M⁻¹ b through the equilibrated factor (vector or matrix)."""
+            scale = dsc[:, None] if b.ndim == 2 else dsc
+            return scale * _chol_solve(chol, scale * b)
 
         def kkt_step(r_c):
             """Solve the reduced Newton system for a given centering rhs."""
             rhs = -r_d - D.T @ ((r_c + z * r_p) / s_safe)
             if has_eq:
-                MiCt = _chol_solve(chol, C.T)
-                Mirhs = _chol_solve(chol, rhs)
+                MiCt = msolve(C.T)
+                Mirhs = msolve(rhs)
                 schur = C @ MiCt + delta * jnp.eye(me, dtype=dtype)
                 dy = jnp.linalg.solve(schur, -(C @ Mirhs) - r_e)
                 dx = Mirhs + MiCt @ dy
             else:
                 dy = y
-                dx = _chol_solve(chol, rhs)
+                dx = msolve(rhs)
             ds = D @ dx + r_p
             dz = -(r_c + z * ds) / s_safe
             return dx, ds, dz, dy
@@ -159,12 +190,24 @@ def _solve_qp_impl(G, g, D, d, C, c, iters, tol) -> QpSolution:
         z_new = z + alpha * dz
         y_new = y + alpha * dy if has_eq else y
 
+        # kkt_new measures the CURRENT iterate (pre-step residuals) —
+        # track the best-so-far point by it, so a late garbage step near
+        # the f32 conditioning wall can never worsen the returned answer.
         kkt_new = jnp.maximum(
             jnp.max(jnp.abs(r_d)) / scale_g,
             jnp.maximum(jnp.max(jnp.abs(r_p)) / scale_d, mu / scale_g),
         )
         if has_eq:
             kkt_new = jnp.maximum(kkt_new, jnp.max(jnp.abs(r_e)) / scale_d)
+        xb, sb, zb, yb, kb = best
+        better = kkt_new < kb
+        best = (
+            jnp.where(better, x, xb),
+            jnp.where(better, s, sb),
+            jnp.where(better, z, zb),
+            jnp.where(better, y, yb) if has_eq else yb,
+            jnp.where(better, kkt_new, kb),
+        )
 
         # Freeze converged instances (bit-stable, avoids the f32 endgame
         # blowup when z/s of active constraints diverges), and freeze on
@@ -179,6 +222,7 @@ def _solve_qp_impl(G, g, D, d, C, c, iters, tol) -> QpSolution:
             jnp.where(keep, s_new, s),
             jnp.where(keep, z_new, z),
             jnp.where(keep, y_new, y) if has_eq else y,
+            best,
             jnp.logical_or(done, newly_done),
             it_count + jnp.logical_not(done).astype(jnp.int32),
             jnp.where(keep, kkt_new, kkt),
@@ -190,14 +234,103 @@ def _solve_qp_impl(G, g, D, d, C, c, iters, tol) -> QpSolution:
         s0,
         z0,
         y0,
+        (x0, s0, z0, y0, jnp.asarray(jnp.inf, dtype)),
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(jnp.inf, dtype),
     )
-    (x, s, z, y, _, it_count, kkt), _ = jax.lax.scan(
+    (x, s, z, y, best, _, it_count, _), _ = jax.lax.scan(
         body, init, None, length=iters
     )
+    # Pick the better of (last, best-so-far) by the honest point residual.
+    xb, sb, zb, yb, _ = best
+    k_last = _honest_kkt(
+        G, g, D, d, x, z, scale_g, scale_d,
+        C=C, c=c, y=y if has_eq else None,
+    )
+    k_best = _honest_kkt(
+        G, g, D, d, xb, zb, scale_g, scale_d,
+        C=C, c=c, y=yb if has_eq else None,
+    )
+    take_last = k_last <= k_best
+    x = jnp.where(take_last, x, xb)
+    s = jnp.where(take_last, s, sb)
+    z = jnp.where(take_last, z, zb)
+    if has_eq:
+        y = jnp.where(take_last, y, yb)
+    kkt = jnp.where(take_last, k_last, k_best)
+
+    # Active-set polish (≙ OSQP solution polishing): solve the equality-
+    # constrained QP on the apparent active set through the well-
+    # conditioned chol(G_reg) with iterative refinement — recovers
+    # f32-machine-precision KKT wherever the IPM identified the active
+    # set, which a fixed-iteration f32 endgame cannot do on its own.
+    x_p, z_p, y_p = _polish(
+        G, g, D, d, chol0, delta, x, z, C=C, c=c, rounds=4
+    )
+    k_pol = _honest_kkt(
+        G, g, D, d, x_p, z_p, scale_g, scale_d,
+        C=C, c=c, y=y_p if has_eq else None,
+    )
+    take_pol = k_pol < kkt  # False on non-finite k_pol
+    x = jnp.where(take_pol, x_p, x)
+    z = jnp.where(take_pol, z_p, z)
+    s = jnp.where(take_pol, jnp.maximum(D @ x_p - d, 0.0), s)
+    if has_eq:
+        y = jnp.where(take_pol, y_p, y)
+    kkt = jnp.where(take_pol, k_pol, kkt)
     return QpSolution(x=x, z=z, y=y, s=s, iterations=it_count, kkt_error=kkt)
+
+
+def _polish(G, g, D, d, chol_g, delta, x_ipm, z_ipm, C=None, c=None,
+            rounds: int = 4):
+    """Equality-constrained re-solve on the active set of (x_ipm, z_ipm).
+
+    Active rows (z > s heuristic) of D — plus all equality rows — become
+    equalities; the KKT system is solved via the Schur complement on the
+    already-factored G_reg with ``rounds`` iterative-refinement sweeps
+    (each contracts the f32 error by ~cond·eps, so 3-4 rounds reach the
+    f32 floor even at the reference's W=1e-4 regularizer conditioning).
+    Masked fixed-shape: inactive rows carry identity diagonal + zero rhs.
+    """
+    dtype = G.dtype
+    mi = D.shape[-2]
+    slack = D @ x_ipm - d
+    act = (z_ipm > slack).astype(dtype)
+    if C is not None:
+        E = jnp.concatenate([C, D], axis=0)
+        e = jnp.concatenate([c, d], axis=0)
+        w = jnp.concatenate([jnp.ones(C.shape[-2], dtype), act])
+    else:
+        E, e, w = D, d, act
+    m = E.shape[-2]
+
+    def gsolve(b):
+        return _chol_solve(chol_g, b)
+
+    Ew = E * w[:, None]
+    K = (
+        Ew @ gsolve(Ew.T)
+        + jnp.diag(1.0 - w)
+        + delta * jnp.eye(m, dtype=dtype)
+    )
+    cholK = jnp.linalg.cholesky(K)
+
+    xp = gsolve(-g)
+    lam = jnp.zeros((m,), dtype)
+    for _ in range(rounds):
+        r1 = -g + Ew.T @ lam - G @ xp
+        r2 = w * (e - E @ xp)
+        t = gsolve(r1)
+        dlam = _chol_solve(cholK, r2 - Ew @ t)
+        dx = gsolve(r1 + Ew.T @ dlam)
+        xp = xp + dx
+        lam = lam + dlam
+    lam = lam * w
+    if C is not None:
+        me = C.shape[-2]
+        return xp, lam[me:], lam[:me]
+    return xp, lam, None
 
 
 def solve_weighted_ls_qp(

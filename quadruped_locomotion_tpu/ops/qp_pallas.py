@@ -47,8 +47,9 @@ _TOL = 1e-6
 
 def _tri_solve_lower(L, b):
     """Solve L y = b for unrolled lower-triangular L (lists of tiles)."""
-    y = [None] * N
-    for i in range(N):
+    m = len(b)
+    y = [None] * m
+    for i in range(m):
         acc = b[i]
         for k in range(i):
             acc = acc - L[i][k] * y[k]
@@ -58,10 +59,11 @@ def _tri_solve_lower(L, b):
 
 def _tri_solve_upper_t(L, b):
     """Solve Lᵀ x = b (same reciprocal-diagonal convention)."""
-    x = [None] * N
-    for i in reversed(range(N)):
+    m = len(b)
+    x = [None] * m
+    for i in reversed(range(m)):
         acc = b[i]
-        for k in range(i + 1, N):
+        for k in range(i + 1, m):
             acc = acc - L[k][i] * x[k]
         x[i] = acc * L[i][i]
     return x
@@ -69,8 +71,9 @@ def _tri_solve_upper_t(L, b):
 
 def _cholesky(M):
     """Unrolled Cholesky; returns L with RECIPROCAL diagonal stored."""
-    L = [[None] * N for _ in range(N)]
-    for j in range(N):
+    m = len(M)
+    L = [[None] * m for _ in range(m)]
+    for j in range(m):
         acc = M[j][j]
         for k in range(j):
             acc = acc - L[j][k] * L[j][k]
@@ -78,7 +81,7 @@ def _cholesky(M):
         acc = jnp.maximum(acc, 1e-30)
         rdiag = jax.lax.rsqrt(acc)
         L[j][j] = rdiag  # store 1/sqrt(acc)
-        for i in range(j + 1, N):
+        for i in range(j + 1, m):
             acc2 = M[i][j]
             for k in range(j):
                 acc2 = acc2 - L[i][k] * L[j][k]
@@ -88,6 +91,62 @@ def _cholesky(M):
 
 def _chol_solve(L, b):
     return _tri_solve_upper_t(L, _tri_solve_lower(L, b))
+
+
+def _scaled_cholesky(M):
+    """Jacobi-equilibrated Cholesky: factor diag(s)·M·diag(s) with
+    s = 1/√diag(M); returns (L, s). Keeps the f32 factorization finite
+    deep into the IPM endgame where cond(M) ~ 1/eps (mirrors ops/qp.py)."""
+    m = len(M)
+    dsc = [jax.lax.rsqrt(jnp.maximum(M[i][i], 1e-30)) for i in range(m)]
+    Ms = [[M[i][j] * dsc[i] * dsc[j] for j in range(m)] for i in range(m)]
+    return _cholesky(Ms), dsc
+
+
+def _scaled_solve(L, dsc, b):
+    """Solve M x = b through the equilibrated factor."""
+    m = len(b)
+    y = _chol_solve(L, [b[i] * dsc[i] for i in range(m)])
+    return [y[i] * dsc[i] for i in range(m)]
+
+
+def _max_over(vals):
+    acc = vals[0]
+    for v in vals[1:]:
+        acc = jnp.maximum(acc, v)
+    return acc
+
+
+def _honest_kkt_tiles(G, g, D, d, x, z, scale_g, scale_d):
+    """Point KKT residual (stationarity / violation / complementarity /
+    dual sign) of (x, z) — the tile twin of ops.qp._honest_kkt."""
+    stat = []
+    for i in range(N):
+        acc = g[i]
+        for j in range(N):
+            acc = acc + G[i][j] * x[j]
+        for k in range(MI):
+            acc = acc - D[k][i] * z[k]
+        stat.append(jnp.abs(acc))
+    slack = []
+    for k in range(MI):
+        acc = -d[k]
+        for j in range(N):
+            acc = acc + D[k][j] * x[j]
+        slack.append(acc)
+    viol = _max_over([jnp.maximum(-slack[k], 0.0) for k in range(MI)])
+    comp = slack[0] * 0.0
+    for k in range(MI):
+        comp = comp + z[k] * jnp.abs(slack[k])
+    comp = comp * (1.0 / MI)
+    zmax = _max_over([jnp.abs(z[k]) for k in range(MI)])
+    dual = _max_over([jnp.maximum(-z[k], 0.0) for k in range(MI)]) / (
+        1.0 + zmax
+    )
+    return jnp.maximum(
+        jnp.maximum(_max_over(stat) / scale_g, dual),
+        jnp.maximum(viol / scale_d, comp / scale_g),
+    )
 
 
 def _min_over(vals):
@@ -122,8 +181,8 @@ def _ipm_kernel(iters: int, G_ref, g_ref, D_ref, d_ref, x_ref, s_ref,
             for i in range(N)]
 
     # residual normalization scales (match ops/qp.py)
-    scale_g = 1.0 + _min_over([-jnp.abs(v) for v in g]) * -1.0  # max|g|
-    scale_d = 1.0 + _min_over([-jnp.abs(v) for v in d]) * -1.0
+    scale_g = 1.0 + _max_over([jnp.abs(v) for v in g])
+    scale_d = 1.0 + _max_over([jnp.abs(v) for v in d])
 
     # ---- start point ---------------------------------------------------
     L0 = _cholesky(Greg)
@@ -140,12 +199,15 @@ def _ipm_kernel(iters: int, G_ref, g_ref, D_ref, d_ref, x_ref, s_ref,
         jnp.stack(x),  # (N,8,128)
         jnp.stack(s),  # (MI,8,128)
         jnp.stack(z),
+        jnp.stack(x),  # best-so-far x
+        jnp.stack(z),  # best-so-far z
+        jnp.full(TILE, jnp.inf, jnp.float32),  # best kkt
         zero,  # done mask (1.0 = frozen)
         jnp.full(TILE, jnp.inf, jnp.float32),  # kkt
     )
 
     def body(_, carry):
-        xs, ss, zs_, done, kkt = carry
+        xs, ss, zs_, xbs, zbs, kb, done, kkt = carry
         x = [xs[i] for i in range(N)]
         s = [ss[k] for k in range(MI)]
         z = [zs_[k] for k in range(MI)]
@@ -183,7 +245,7 @@ def _ipm_kernel(iters: int, G_ref, g_ref, D_ref, d_ref, x_ref, s_ref,
                     acc = acc + DS[k][i] * D[k][j]
                 M[i][j] = acc
                 M[j][i] = acc
-        L = _cholesky(M)
+        L, dsc = _scaled_cholesky(M)
 
         def kkt_step(r_c):
             rhs = []
@@ -194,7 +256,7 @@ def _ipm_kernel(iters: int, G_ref, g_ref, D_ref, d_ref, x_ref, s_ref,
                         (r_c[k] + z[k] * r_p[k]) / s_safe[k]
                     )
                 rhs.append(acc)
-            dx = _chol_solve(L, rhs)
+            dx = _scaled_solve(L, dsc, rhs)
             ds = []
             for k in range(MI):
                 acc = r_p[k]
@@ -231,13 +293,23 @@ def _ipm_kernel(iters: int, G_ref, g_ref, D_ref, d_ref, x_ref, s_ref,
         s_new = [s[k] + alpha * ds[k] for k in range(MI)]
         z_new = [z[k] + alpha * dz[k] for k in range(MI)]
 
+        # kkt_new measures the CURRENT iterate — update the best-so-far
+        # (a late garbage step near the f32 wall can't worsen the output).
         kkt_new = jnp.maximum(
-            _min_over([-jnp.abs(v) for v in r_d]) * -1.0 / scale_g,
+            _max_over([jnp.abs(v) for v in r_d]) / scale_g,
             jnp.maximum(
-                _min_over([-jnp.abs(v) for v in r_p]) * -1.0 / scale_d,
+                _max_over([jnp.abs(v) for v in r_p]) / scale_d,
                 mu / scale_g,
             ),
         )
+        better = kkt_new < kb
+        xbs2 = jnp.stack(
+            [jnp.where(better, x[i], xbs[i]) for i in range(N)]
+        )
+        zbs2 = jnp.stack(
+            [jnp.where(better, z[k], zbs[k]) for k in range(MI)]
+        )
+        kb2 = jnp.where(better, kkt_new, kb)
 
         # freeze on convergence or non-finite update
         total = zero
@@ -260,16 +332,104 @@ def _ipm_kernel(iters: int, G_ref, g_ref, D_ref, d_ref, x_ref, s_ref,
         )
         done2 = jnp.maximum(done, newly_done.astype(jnp.float32))
         kkt2 = jnp.where(keep, kkt_new, kkt)
-        return (xs2, ss2, zs2, done2, kkt2)
+        return (xs2, ss2, zs2, xbs2, zbs2, kb2, done2, kkt2)
 
-    xs, ss, zs_, _done, kkt = jax.lax.fori_loop(
+    xs, ss, zs_, xbs, zbs, _kb, _done, _kkt = jax.lax.fori_loop(
         0, iters, body, carry
     )
-    for i in range(N):
-        x_ref[i] = xs[i]
+    x = [xs[i] for i in range(N)]
+    s = [ss[k] for k in range(MI)]
+    z = [zs_[k] for k in range(MI)]
+    xb = [xbs[i] for i in range(N)]
+    zb = [zbs[k] for k in range(MI)]
+
+    # ---- endgame: honest residuals, best-of, active-set polish ---------
+    # (mirrors ops/qp.py exactly; see _honest_kkt/_polish there)
+    k_last = _honest_kkt_tiles(G, g, D, d, x, z, scale_g, scale_d)
+    k_best = _honest_kkt_tiles(G, g, D, d, xb, zb, scale_g, scale_d)
+    take_last = k_last <= k_best
+    x = [jnp.where(take_last, x[i], xb[i]) for i in range(N)]
+    z = [jnp.where(take_last, z[k], zb[k]) for k in range(MI)]
+    kkt = jnp.where(take_last, k_last, k_best)
+
+    # Active set from the selected point: z > slack.
+    slack = []
     for k in range(MI):
-        s_ref[k] = ss[k]
-        z_ref[k] = zs_[k]
+        acc = -d[k]
+        for j in range(N):
+            acc = acc + D[k][j] * x[j]
+        slack.append(acc)
+    w = [
+        jnp.where(z[k] > slack[k], 1.0, 0.0).astype(jnp.float32)
+        for k in range(MI)
+    ]
+    Ew = [[D[k][j] * w[k] for j in range(N)] for k in range(MI)]
+    # K = Ew G⁻¹ Ewᵀ + diag(1-w) + δI  (MI×MI, symmetric)
+    GiEwT = [_chol_solve(L0, Ew[k]) for k in range(MI)]
+    K = [[None] * MI for _ in range(MI)]
+    for a in range(MI):
+        for bq in range(a + 1):
+            acc = zero if a != bq else (1.0 - w[a]) + _DELTA
+            for j in range(N):
+                acc = acc + Ew[a][j] * GiEwT[bq][j]
+            K[a][bq] = acc
+            K[bq][a] = acc
+    LK, dscK = _scaled_cholesky(K)
+
+    # xp = G⁻¹(-g), λ = 0, then refinement sweeps on the KKT system.
+    xp = _chol_solve(L0, [-v for v in g])
+    lam = [zero] * MI
+    for _ in range(4):
+        # r1 = -g + Ewᵀλ - G xp ; r2 = w ⊙ (d - E xp)
+        r1 = []
+        for i in range(N):
+            acc = -g[i]
+            for k in range(MI):
+                acc = acc + Ew[k][i] * lam[k]
+            for j in range(N):
+                acc = acc - G[i][j] * xp[j]
+            r1.append(acc)
+        r2 = []
+        for k in range(MI):
+            acc = d[k]
+            for j in range(N):
+                acc = acc - D[k][j] * xp[j]
+            r2.append(acc * w[k])
+        t = _chol_solve(L0, r1)
+        rhs2 = []
+        for k in range(MI):
+            acc = r2[k]
+            for j in range(N):
+                acc = acc - Ew[k][j] * t[j]
+            rhs2.append(acc)
+        dlam = _scaled_solve(LK, dscK, rhs2)
+        r1d = []
+        for i in range(N):
+            acc = r1[i]
+            for k in range(MI):
+                acc = acc + Ew[k][i] * dlam[k]
+            r1d.append(acc)
+        dx = _chol_solve(L0, r1d)
+        xp = [xp[i] + dx[i] for i in range(N)]
+        lam = [lam[k] + dlam[k] for k in range(MI)]
+    lam = [lam[k] * w[k] for k in range(MI)]
+    k_pol = _honest_kkt_tiles(G, g, D, d, xp, lam, scale_g, scale_d)
+    take_pol = k_pol < kkt  # False on non-finite k_pol
+    x = [jnp.where(take_pol, xp[i], x[i]) for i in range(N)]
+    z = [jnp.where(take_pol, lam[k], z[k]) for k in range(MI)]
+    kkt = jnp.where(take_pol, k_pol, kkt)
+    # returned s = slack of the returned x (floored at 0)
+    for k in range(MI):
+        acc = -d[k]
+        for j in range(N):
+            acc = acc + D[k][j] * x[j]
+        s[k] = jnp.maximum(acc, 0.0)
+
+    for i in range(N):
+        x_ref[i] = x[i]
+    for k in range(MI):
+        s_ref[k] = s[k]
+        z_ref[k] = z[k]
     kkt_ref[0] = kkt
 
 
