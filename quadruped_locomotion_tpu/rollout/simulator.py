@@ -132,6 +132,17 @@ def step(
     touching = sim.feet_world[:, 2] <= gz + CONTACT_TOL
     support = support & (robot.support | touching)
     base = robot.base
+    # Unilateral REACH: a pinned contact cannot pull — once the hip has
+    # moved (almost) a full leg length away from the planted foot, the
+    # foot physically breaks contact (slips/releases). Without this, the
+    # pinned-foot joint solve runs through the straight-knee singularity
+    # and the state blows up (observed in long-stance pace gaits).
+    reach = jnp.sqrt(model.d**2 + (model.l1 + model.l2) ** 2).astype(dtype)
+    hips_world = base.position + quat_rotate(
+        base.quaternion[None], model.hip_pos.astype(dtype)
+    )
+    extension = jnp.linalg.norm(sim.feet_world - hips_world, axis=-1)
+    support = support & (extension < 0.995 * reach)
     g_world = jnp.array([0.0, 0.0, -GRAVITY], dtype)
     g_base = quat_inv_rotate(base.quaternion, g_world)
 
@@ -142,8 +153,17 @@ def step(
     tau_g = gravity_torques(model, robot.q, g_base)
 
     # --- stance path: torques → ground reaction on the trunk ---------------
-    # Controller maps τ = Jᵀ f_contact + τ_g; invert per leg.
-    f_contact = jax.vmap(lambda jj, t: jnp.linalg.solve(jj.T, t))(
+    # Controller maps τ = Jᵀ f_contact + τ_g; invert per leg with damped
+    # least squares — near the straight-knee singularity the exact
+    # inverse is unbounded (a real leg saturates through joint friction
+    # and structural compliance instead).
+    dls = jnp.asarray(1e-4, dtype) * jnp.eye(3, dtype=dtype)
+
+    def _dls_solve_t(jj, t):
+        # f ≈ (J Jᵀ + λ²I)⁻¹ J t  solves Jᵀ f = t
+        return jnp.linalg.solve(jj @ jj.T + dls, jj @ t)
+
+    f_contact = jax.vmap(_dls_solve_t)(
         j, tau - tau_g
     )  # (4,3) force leg pushes on ground, base frame
     grf_base = -f_contact  # ground reaction on the robot
@@ -184,7 +204,10 @@ def step(
         jnp.broadcast_to(angvel_new, (4, 3)), feet_base_new
     ) - quat_inv_rotate(quat_new[None], jnp.broadcast_to(linvel_new, (4, 3)))
     j_new = jacobians(model, q_stance)
-    qd_stance = jax.vmap(jnp.linalg.solve)(j_new, v_feet_base)
+    # damped least squares again: qd ≈ (JᵀJ + λ²I)⁻¹ Jᵀ v
+    qd_stance = jax.vmap(
+        lambda jj, v: jnp.linalg.solve(jj.T @ jj + dls, jj.T @ v)
+    )(j_new, v_feet_base)
 
     # --- swing legs: articulated 3-DoF dynamics -----------------------------
     # Substep with zero-order-hold torque and *implicit* viscous joint

@@ -120,7 +120,14 @@ def test_stop_preempt_step_finishes_current_then_stops(server_factory):
         _footstep_goal(3, preempt=msg.PREEMPT_STEP),
         result_cb=results.append,
     )
-    srv.run(60)
+    # advance until step 0's LF swing is airborne but unfinished
+    for _ in range(300):
+        if (
+            srv.current_row == 0
+            and float(srv.state.sim.feet_world[0, 2]) > 0.02
+        ):
+            break
+        srv.tick()
     row = srv.current_row
     assert row == 0
     lf_before = float(srv.state.sim.feet_world[0, 0])

@@ -88,3 +88,31 @@ def test_yaw_equivariance_of_full_loop():
     # walks along world +y (the rotated forward direction)
     assert bp[-1, 1] > 0.2
     assert abs(bp[-1, 0]) < 0.15
+
+
+def test_pace_closed_loop_stable():
+    """Pace at the reference timing (t_sw 0.5 / t_st 1.5,
+    action_server_test.cpp:255) stays upright and makes forward progress
+    in the full closed loop — the gait the reference demos in Gazebo
+    (pace_gazebo.yaml). Guards the long-stance reach-release path in the
+    plant (a pinned foot at full leg extension must break contact, not
+    blow through the straight-knee singularity)."""
+    model = RobotModel.simpledog()
+    params = ControllerParams.defaults()
+    gp = GaitParams.pace_defaults()
+    ls0 = cl.init_locomotion(model, gp, gait_type=1)
+    cmd = cl.Command(
+        linear_velocity=jnp.array([0.15, 0.0, 0.0], jnp.float32),
+        yaw_rate=jnp.asarray(0.0, jnp.float32),
+    )
+    lsf, tel = jax.jit(
+        lambda ls: cl.rollout(model, params, gp, ls, cmd, 800)
+    )(ls0)
+    base = np.asarray(tel["base_position"])
+    assert np.isfinite(base).all()
+    assert base[:, 2].min() > 0.3, base[:, 2].min()
+    assert base[:, 2].max() < 0.5
+    # forward progress: ≥ half the commanded distance over 8 s
+    assert base[-1, 0] - base[0, 0] > 0.6, base[-1, 0]
+    # lateral drift bounded (pace is the laterally-critical gait)
+    assert np.abs(base[:, 1]).max() < 0.3, np.abs(base[:, 1]).max()

@@ -92,9 +92,18 @@ def oracle_weighted_ls(A, S, b, W, D, d, x_feas):
 
 @pytest.fixture(scope="module")
 def trot_trace():
+    """A full trot cycle at the REFERENCE timing t_sw = t_st = 0.45 s
+    (``action_server_test.cpp:183, 243``): cycle = 0.9 s = 90 planner
+    ticks × 4 control substeps, recorded after a settle-in so the gait
+    engine is in steady state. BASELINE correctness is defined over this
+    exact timing."""
     model = RobotModel.simpledog()
     params = ControllerParams.defaults()
     gp = GaitParams.trot_defaults()
+    gp = gp.replace(
+        t_swing=jnp.asarray(0.45, jnp.float32),
+        t_stance=jnp.asarray(0.45, jnp.float32),
+    )
     ls0 = cl.init_locomotion(model, gp)
     cmd = cl.Command(
         linear_velocity=jnp.array([0.2, 0.0, 0.0]),
@@ -110,10 +119,8 @@ def trot_trace():
             "vt": diag.virtual_torque,
         }
 
-    # One full trot cycle = 0.9 s = 90 planner ticks (x4 control substeps),
-    # after a settle-in of 30 ticks so the gait engine is in steady state.
-    warm = 30
-    cycle = 90
+    warm = 45  # half a gait cycle of settle-in
+    cycle = 90  # 0.9 s — one full reference trot cycle
     lsw, _ = jax.jit(
         lambda ls: cl.rollout(model, params, gp, ls, cmd, warm)
     )(ls0)
@@ -137,15 +144,19 @@ def test_full_trot_cycle_matches_float64_oracle(trot_trace):
             support = np.asarray(st.support)
             if support.sum() < 2:
                 continue
-            vf = jnp.asarray(ex["vf"][i, k], jnp.float64)
-            vt = jnp.asarray(ex["vt"][i, k], jnp.float64)
-            st64 = jax.tree_util.tree_map(
-                lambda v: v.astype(jnp.float64)
-                if jnp.issubdtype(v.dtype, jnp.floating) else v,
-                st,
-            )
             grf_ours = np.asarray(ex["grf"][i, k])
-            A, b, S, W, D, d = build_qp(model, params.cfd, st64, vf, vt)
+            # True float64 rebuild of the tick's QP: x64 enabled locally
+            # so the oracle sees the same data at full precision.
+            with jax.enable_x64(True):
+                vf = jnp.asarray(np.asarray(ex["vf"][i, k], np.float64))
+                vt = jnp.asarray(np.asarray(ex["vt"][i, k], np.float64))
+                st64 = jax.tree_util.tree_map(
+                    lambda v: jnp.asarray(np.asarray(v, np.float64))
+                    if jnp.issubdtype(v.dtype, jnp.floating) else v,
+                    st,
+                )
+                A, b, S, W, D, d = build_qp(model, params.cfd, st64, vf, vt)
+                assert A.dtype == jnp.float64
             x_ref = oracle_weighted_ls(
                 A, S, b, W, D, d, grf_ours.reshape(12)
             )
@@ -159,11 +170,17 @@ def test_full_trot_cycle_matches_float64_oracle(trot_trace):
             from quadruped_locomotion_tpu.control.force_distribution import (
                 stance_torques,
             )
-            tau_ref = np.asarray(
-                stance_torques(
-                    model, st64, jnp.asarray(-grf_ref)
+            with jax.enable_x64(True):
+                tau_ref = np.asarray(
+                    stance_torques(
+                        model, st64, jnp.asarray(np.asarray(-grf_ref))
+                    )
                 )
-            )
+            # the commanded torque is clamped at ±300 N·m exactly like the
+            # reference (ros_balance_controller.cpp:451-454) — clamp the
+            # oracle map identically before comparing.
+            lim = float(model.torque_limit)
+            tau_ref = np.clip(tau_ref, -lim, lim)
             tau_ours = np.asarray(ex["tau"][i, k])
             tau_errs.append(
                 np.abs(tau_ours - tau_ref)[support.astype(bool)].max()

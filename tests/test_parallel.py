@@ -30,10 +30,26 @@ def test_sharded_sweep_matches_vmap():
         A, S, b, W, D, d
     )
     # Sharded and vmapped lowerings fuse differently, so float32 IPM
-    # iterates drift a little; both must land on the same solution to
-    # solver tolerance and equal quality.
+    # iterates drift — and the W=1e-4 regularizer leaves a genuinely flat
+    # direction where near-optimal solutions may differ. Equality is
+    # therefore asserted on the physical quantities: realized wrench and
+    # objective value, not raw x.
+    def objective(xs):
+        r = jnp.einsum("bij,bj->bi", A, xs) - b
+        return jnp.einsum("bi,bi->b", r * S, r) + jnp.einsum(
+            "bi,bi->b", xs * W, xs
+        )
+
     np.testing.assert_allclose(
-        np.asarray(sol_sh.x), np.asarray(sol.x), atol=0.15
+        np.asarray(jnp.einsum("bij,bj->bi", A, sol_sh.x)),
+        np.asarray(jnp.einsum("bij,bj->bi", A, sol.x)),
+        atol=0.05,
+    )
+    np.testing.assert_allclose(
+        np.asarray(objective(sol_sh.x)),
+        np.asarray(objective(sol.x)),
+        rtol=1e-4,
+        atol=1e-3,
     )
     # collective reductions match the local computation (of the sharded
     # solutions' own quality)
