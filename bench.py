@@ -179,6 +179,88 @@ def latency_main(n_ticks: int = 400):
     )
 
 
+def sweep_main(batch: int = 1024, ticks: int = 100):
+    """Scenario-sweep mode (`bench.py --sweep [batch]`): the FULL closed
+    loop (gait engine + executor outputs + contact FSM + VMC + QP +
+    torque map + plant) vmapped over `batch` independent command
+    scenarios on one chip — the BASELINE's "N parallel terrain/gait/
+    velocity scenarios" workload end-to-end, not just the QP kernel.
+
+    Reports scenario·sim-seconds per wall-second: how many robots' worth
+    of real-time 100 Hz control streams one chip sustains. The reference
+    runs exactly ONE robot in real time on a CPU (vs_baseline = that
+    multiple)."""
+    from quadruped_locomotion_tpu.control.locomotion import ControllerParams
+    from quadruped_locomotion_tpu.gait.phase import GaitParams
+    from quadruped_locomotion_tpu.rollout import closed_loop as cl
+    from quadruped_locomotion_tpu.types import RobotModel
+
+    model = RobotModel.simpledog()
+    params = ControllerParams.defaults()
+    gp = GaitParams.trot_defaults()
+    ls0 = cl.init_locomotion(model, gp)
+    ls_b = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), ls0
+    )
+    rng = np.random.default_rng(0)
+    cmds = cl.Command(
+        linear_velocity=jnp.asarray(
+            np.stack(
+                [
+                    rng.uniform(-0.1, 0.4, batch),
+                    rng.uniform(-0.1, 0.1, batch),
+                    np.zeros(batch),
+                ],
+                axis=1,
+            ),
+            jnp.float32,
+        ),
+        yaw_rate=jnp.asarray(rng.uniform(-0.3, 0.3, batch), jnp.float32),
+    )
+
+    @jax.jit
+    def sweep(ls):
+        return jax.vmap(
+            lambda l, c: cl.rollout(model, params, gp, l, c, ticks)
+        )(ls, cmds)
+
+    ls_b, tel = sweep(ls_b)
+    jax.block_until_ready(ls_b)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        ls_b, tel = sweep(ls_b)
+    jax.block_until_ready(ls_b)
+    dt_wall = (time.perf_counter() - t0) / reps
+
+    sim_seconds = batch * ticks * 0.01
+    rt_factor = sim_seconds / dt_wall
+    base = np.asarray(tel["base_position"])  # (B, T, 3)
+    finite = np.isfinite(base).all()
+    upright = float((base[:, -1, 2] > 0.25).mean())
+    kkt = np.asarray(tel["qp_kkt"])
+    print(
+        f"batch={batch} ticks={ticks} wall={dt_wall:.3f}s "
+        f"rt_factor={rt_factor:.1f} finite={finite} "
+        f"upright_frac={upright:.3f} p99_kkt={np.percentile(kkt,99):.2e}",
+        file=sys.stderr,
+    )
+    if not finite or upright < 0.9:
+        print("WARNING: sweep health check failed", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "closed-loop scenario sweep "
+                "(robots simulated+controlled in real time per chip)",
+                "value": round(rt_factor, 1),
+                "unit": "robots (scenario.sim-s/wall-s)",
+                "vs_baseline": round(rt_factor / 1.0, 1),
+                "upright_frac": upright,
+            }
+        )
+    )
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     batch = int(args[0]) if args else 4096
@@ -186,6 +268,8 @@ def main():
         return scaling_main(batch)
     if "--latency" in sys.argv[1:]:
         return latency_main(int(args[0]) if args else 400)
+    if "--sweep" in sys.argv[1:]:
+        return sweep_main(int(args[0]) if args else 1024)
     iters = 15
     from quadruped_locomotion_tpu.ops import qp, qp_pallas
 

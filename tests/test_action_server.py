@@ -272,3 +272,27 @@ def test_send_action_sequence_service(server_factory):
     for gid in gids:
         res = srv.result_of(gid)
         assert res is not None and res.status == msg.RESULT_SUCCEEDED, gid
+
+
+def test_single_footstep_marker_flow(server_factory):
+    """≙ free_gait_marker's one-footstep goal (MarkerManager.cpp:87-200,
+    260-300): a single dragged-foothold target becomes a one-step
+    ExecuteSteps goal (footstep + base_auto) and executes to success,
+    with the foot landing on the marker position."""
+    srv = server_factory()
+    target = (0.50, 0.21, 0.0)  # dragged LF marker, world frame
+    goal = msg.ExecuteStepsGoal(
+        steps=[
+            msg.StepMsg(
+                footsteps=[msg.FootstepMsg(name="LF_LEG", target=target)],
+                base_auto=msg.BaseAutoMsg(height=0.4),
+            )
+        ],
+    )
+    gid = srv.submit_goal(goal)
+    srv.run_until_done(max_ticks=1500)
+    res = srv.result_of(gid)
+    assert res is not None and res.status == msg.RESULT_SUCCEEDED
+    foot = np.asarray(srv.state.sim.feet_world[0])
+    assert np.linalg.norm(foot[:2] - np.asarray(target[:2])) < 0.03, foot
+    assert abs(foot[2]) < 0.01
