@@ -41,18 +41,20 @@ class GaitParams:
     def trot_defaults(cls, dtype=jnp.float32) -> "GaitParams":
         f = lambda x: jnp.asarray(x, dtype=dtype)
         return cls(
-            # The reference trots at 0.45/0.45 s (action_server_test.cpp
-            # :183, :243) against Gazebo's heavy-legged plant; our
-            # massless-leg plant needs a faster exchange to recapture the
-            # diagonal knife-edge (see rollout/simulator.py). 0.45 s
-            # remains fully supported — set it explicitly for parity runs.
-            t_swing=f(0.25),
-            t_stance=f(0.25),
+            # The reference trot timing (action_server_test.cpp:183, :243),
+            # now the default: the fully-coupled articulated plant
+            # (rollout/articulated.py) carries real leg inertia, and the
+            # 0.45 s exchange is stable on it with a critically-tuned
+            # lateral capture gain of 1.0 — the 2.2 over-capture the old
+            # massless plant needed destabilizes the coupled diagonal
+            # (roll limit-cycle); see tests/test_closed_loop.py.
+            t_swing=f(0.45),
+            t_stance=f(0.45),
             height=f(0.4),
             sigma_st=f([0.8, 0.8]),
             sigma_sw=f([1.0, 1.0]),
             base_avg_velocity=f(0.2),
-            capture_gain=f([1.0, 2.2]),
+            capture_gain=f([1.0, 1.0]),
             vel_cmd_blend=f(1.0),
         )
 

@@ -30,11 +30,19 @@ from ..control.swing import joint_pd_gravity_torques
 from ..gait import gait_generator as gg
 from ..gait.phase import GaitParams
 from ..types import RobotModel
+from . import articulated as artlib
 from . import simulator as simlib
 
 PLANNER_DT = 0.01  # 100 Hz (action_server_test.cpp:103-106, 124)
 CONTROL_SUBSTEPS = 4  # → 400 Hz control/physics (balance_controller_manager)
 CONTROL_DT = PLANNER_DT / CONTROL_SUBSTEPS
+
+# Plant selection (trace-time static). "articulated" is the default: the
+# fully-coupled 18-DoF floating-base dynamics with leg inertia acting on
+# the trunk — the Gazebo-parity physics the reference tunes against.
+# "massless" is the decoupled trunk+swing-leg abstraction: ~3× cheaper,
+# kept for throughput-critical sweeps and A/B comparisons.
+PLANTS = {"articulated": artlib.step, "massless": simlib.step}
 
 
 @struct.dataclass
@@ -82,6 +90,7 @@ def planner_tick(
     qp_iters: int = 15,
     terrain=None,
     telemetry_fn=None,
+    plant: str = "articulated",
 ):
     """One 100 Hz planner tick + 4 control/physics substeps.
 
@@ -139,7 +148,7 @@ def planner_tick(
             model, state, fsm.q_freeze, jnp.zeros_like(fsm.q_freeze)
         )
         tau = jnp.where(fsm.freeze[:, None], tau_freeze, tau)
-        sim2 = simlib.step(
+        sim2 = PLANTS[plant](
             model, sim, tau, CONTROL_DT, support=fsm.support,
             ground_height=gz,
         )
@@ -168,13 +177,14 @@ def rollout(
     qp_iters: int = 15,
     terrain=None,
     telemetry_fn=None,
+    plant: str = "articulated",
 ):
     """Full closed-loop rollout. Returns (final state, per-tick telemetry)."""
 
     def tick(ls, _):
         ls2, tick_out = planner_tick(
             model, params, gait_params, ls, command, qp_iters=qp_iters,
-            terrain=terrain, telemetry_fn=telemetry_fn,
+            terrain=terrain, telemetry_fn=telemetry_fn, plant=plant,
         )
         kkt = tick_out if telemetry_fn is None else tick_out[0]
         telemetry = {
