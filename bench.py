@@ -63,6 +63,81 @@ def build_batch(batch: int):
     return A, b, S, W, D, d
 
 
+def tail_proof(A, b, S, W, D, d, x, wrench_err, max_oracle: int = 64):
+    """Prove the wrench-error tail is CONSTRAINT-BOUND, not solver failure.
+
+    Round-2 finding: p99 wrench error is ~177 N because ~1/4 of the
+    sampled instances request infeasible wrenches (kp=10000 × ±3 cm noise
+    swamps the friction cone / 10 N min-force floor). Two checks turn
+    that explanation into proof (≙ the solve-sanity spirit of
+    ContactForceDistribution.cpp:496-511):
+
+    1. EVERY instance with wrench error > 1 N must have at least one
+       active inequality constraint (slack < 1e-3) — the optimizer is on
+       the feasible-set boundary, pushing as hard as physics allows.
+    2. The worst ``max_oracle`` instances are re-solved with a float64
+       scipy oracle; the kernel's objective must match the true optimum
+       and the ORACLE's wrench error must be just as large — i.e. the
+       error is inherent to the problem, not left on the table.
+
+    Returns (tail_frac, active_frac, oracle_rel_gap_max | None).
+    """
+    An, bn, Sn, Wn = (np.asarray(v, np.float64) for v in (A, b, S, W))
+    Dn, dn, xn = (np.asarray(v, np.float64) for v in (D, d, x))
+    tail = wrench_err > 1.0
+    tail_frac = float(tail.mean())
+    if not tail.any():
+        return tail_frac, 1.0, None
+    slack = np.einsum("bij,bj->bi", Dn, xn) - dn
+    active_frac = float((slack[tail].min(axis=-1) < 1e-3).mean())
+
+    worst = np.argsort(wrench_err)[::-1][:max_oracle]
+    gaps, oracle_errs = [], []
+    try:
+        from scipy import optimize
+    except ImportError:  # pragma: no cover - scipy is present in CI/TPU envs
+        return tail_frac, active_frac, None
+    for i in worst:
+        G = 2.0 * An[i].T @ (Sn[i][:, None] * An[i]) + np.diag(Wn[i])
+        g = -2.0 * An[i].T @ (Sn[i] * bn[i])
+        scale = max(1.0, np.abs(g).max())
+        res = optimize.minimize(
+            lambda v: (0.5 * v @ G @ v + g @ v) / scale,
+            xn[i],
+            jac=lambda v: (G @ v + g) / scale,
+            constraints=[
+                {
+                    "type": "ineq",
+                    "fun": lambda v, i=i: Dn[i] @ v - dn[i],
+                    "jac": lambda v, i=i: Dn[i],
+                }
+            ],
+            method="SLSQP",
+            options={"maxiter": 500, "ftol": 1e-14},
+        )
+        obj = lambda v: v @ G @ v * 0.5 + g @ v
+        denom = 1.0 + abs(obj(res.x))
+        gaps.append(abs(obj(xn[i]) - obj(res.x)) / denom)
+        oracle_errs.append(
+            np.abs(An[i] @ res.x - bn[i]).max() / max(wrench_err[i], 1e-9)
+        )
+    gap_max = float(np.max(gaps))
+    err_ratio_med = float(np.median(oracle_errs))
+    print(
+        f"tail proof: {tail.sum()}/{tail.size} instances >1N "
+        f"({tail_frac:.1%}); active-constraint frac={active_frac:.3f}; "
+        f"oracle objective gap max={gap_max:.2e} over {len(worst)} worst; "
+        f"oracle/kernel wrench-err ratio med={err_ratio_med:.3f}",
+        file=sys.stderr,
+    )
+    if active_frac < 1.0 or gap_max > 5e-3 or not 0.9 < err_ratio_med < 1.1:
+        print(
+            "WARNING: wrench-error tail NOT proven constraint-bound",
+            file=sys.stderr,
+        )
+    return tail_frac, active_frac, gap_max
+
+
 def scaling_main(batch: int):
     """Weak-scaling mode (`bench.py --scaling [batch]`): shard the sweep
     over all local devices and report scaling efficiency vs 1 device.
@@ -98,13 +173,21 @@ def latency_main(n_ticks: int = 400):
     400 Hz control-tick latency, p50/p99, vs the reference's 2.5 ms
     real-time budget (``balance_controller_manager.cpp:47-58``).
 
-    One jitted planner tick = the full brain (gait engine + executor
-    outputs + contact FSM + VMC + force-distribution QP + torque map +
-    plant step) × 4 control substeps — i.e. 10 ms of robot time. The
-    per-control-tick latency is the measured wall time / 4, including
-    host dispatch each tick (the honest deployment path: the host loop
-    re-enters jit every planner tick, exactly like the runtime action
-    server does)."""
+    Two numbers, honestly labeled:
+
+    (a) HEADLINE — device-resident scan, THROUGHPUT-AMORTIZED: 25
+        planner ticks (= 100 control ticks of full brain: gait engine +
+        executor outputs + contact FSM + VMC + force-distribution QP +
+        torque map + plant step) run on-chip per dispatch; wall time is
+        divided by 100. This is the valid figure for on-device rollouts
+        (training sweeps, preview, batched scenario serving), NOT for a
+        sensor-in-the-loop deployment — a real 400 Hz controller cannot
+        batch 25 planner ticks ahead of fresh sensor data.
+    (b) CONTEXT — per-dispatch: ONE planner tick per jit call, including
+        the host→device round trip every tick. This is the
+        sensor-in-the-loop deployment path; on this sandbox the TPU is
+        reached through a network tunnel, so the RTT dominates and the
+        number mostly measures the tunnel."""
     from quadruped_locomotion_tpu.control.locomotion import ControllerParams
     from quadruped_locomotion_tpu.gait.phase import GaitParams
     from quadruped_locomotion_tpu.rollout import closed_loop as cl
@@ -167,7 +250,7 @@ def latency_main(n_ticks: int = 400):
         json.dumps(
             {
                 "metric": "closed-loop 400 Hz control-tick latency "
-                "(device-resident, p99)",
+                "(device-resident scan, throughput-amortized, p99)",
                 "value": round(p99, 4),
                 "unit": "ms",
                 # >1 = beating the 2.5 ms budget
@@ -313,10 +396,11 @@ def main():
     batch_ms = (t1 - t0) / reps * 1e3
 
     # Health: KKT percentiles (honest point residuals incl. the active-set
-    # polish) + wrench tracking. A few instances request infeasible
-    # wrenches (e.g. net downward pull) where the friction/min-force
-    # constraints bind — there the optimal wrench error is legitimately
-    # large, so wrench error is gated at the median, KKT at p99/max.
+    # polish) + wrench tracking. ~1/4 of instances request infeasible
+    # wrenches (kp·3 cm noise swamps the friction cone) where the optimal
+    # wrench error is legitimately large — tail_proof() below PROVES that
+    # (active constraints + float64 oracle re-solve of the worst cases),
+    # so wrench error is gated at the median, KKT at p99/max.
     kkt_np = np.asarray(kkt_all)
     kkt_p50, kkt_p99 = (
         float(np.percentile(kkt_np, 50)),
@@ -344,6 +428,10 @@ def main():
             file=sys.stderr,
         )
 
+    tail_frac, active_frac, oracle_gap = tail_proof(
+        A, b, S, W, D, d, x, wrench_err
+    )
+
     if use_pallas:
         # Cross-check the kernel against the generic XLA IPM on a
         # subsample: both must reach near-identical objective values.
@@ -360,10 +448,19 @@ def main():
 
         op = objective(x[:sub], A[:sub], S[:sub], b[:sub], W[:sub])
         ox = objective(sol.x, A[:sub], S[:sub], b[:sub], W[:sub])
-        rel = float(jnp.median(jnp.abs(op - ox) / (1.0 + jnp.abs(ox))))
-        print(f"pallas-vs-xla median rel objective gap: {rel:.2e}",
-              file=sys.stderr)
-        if rel > 1e-4:
+        gap = np.asarray(jnp.abs(op - ox) / (1.0 + jnp.abs(ox)))
+        rel = float(np.median(gap))
+        rel_p99 = float(np.percentile(gap, 99))
+        # p99 gate (round-2 fix: a median-only gate would pass a 1%
+        # garbage tail). Both backends are fixed-iteration float32, so
+        # the p99 bound is looser than the median one; the float64-oracle
+        # tail gate above is the tight end-to-end check.
+        print(
+            f"pallas-vs-xla rel objective gap: median={rel:.2e} "
+            f"p99={rel_p99:.2e}",
+            file=sys.stderr,
+        )
+        if rel > 1e-4 or rel_p99 > 1e-3:
             print("WARNING: backend agreement check failed", file=sys.stderr)
 
     print(
@@ -373,6 +470,15 @@ def main():
                 "value": round(solves_per_s, 1),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
+                "kkt_p50": float(f"{kkt_p50:.3g}"),
+                "kkt_p99": float(f"{kkt_p99:.3g}"),
+                "wrench_err_p50": float(f"{med_err:.3g}"),
+                "wrench_err_p99": float(f"{p99_err:.3g}"),
+                "tail_frac_gt_1N": round(tail_frac, 4),
+                "tail_active_constraint_frac": round(active_frac, 4),
+                "tail_oracle_gap_max": None
+                if oracle_gap is None
+                else float(f"{oracle_gap:.3g}"),
             }
         )
     )

@@ -353,7 +353,12 @@ def build_schedule(
                 base_it[si] = bool(
                     ba.get("ignore_timing_of_leg_motion", False)
                 )
-                base_margin[si] = ba.get("support_margin", 0.04) or 0.04
+                # Copied verbatim including an explicit 0.0 — the
+                # reference honors zero margin (StepRosConverter.cpp:348
+                # copies the value; BaseAuto.cpp uses it directly and its
+                # tests send 0.0) despite the msg comment saying 0 means
+                # "use default". Default applies only when absent.
+                base_margin[si] = ba.get("support_margin", 0.04)
             elif "base_target" in m:
                 bt = m["base_target"]
                 tgt = bt.get("target", {})

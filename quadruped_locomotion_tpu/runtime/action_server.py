@@ -317,7 +317,11 @@ class FreeGaitActionServer:
         """≙ ``SetLimbConfigure.srv`` → ``QuadrupedState::setLimbConfigure``
         (``quadruped_state.cpp:369-399``): switch the per-leg IK branch
         ('<<', '<>', '><', '>>'). Applies on the next tick (the model is
-        a jit argument, so no recompile)."""
+        a jit argument, so no recompile).
+
+        Intentional improvement over the reference: unknown configure
+        strings return False here, whereas ``setLimbConfigure`` returns
+        true unconditionally and silently ignores them."""
         from ..types import limb_configure_branches
 
         try:
