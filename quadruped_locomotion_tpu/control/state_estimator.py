@@ -121,7 +121,19 @@ def predict(
     contact: jax.Array,  # (4,) bool — stance flags (gates foot process noise)
     dt,
 ) -> EstimatorState:
-    """Strapdown IMU mechanization + covariance propagation."""
+    """Strapdown IMU mechanization + covariance propagation.
+
+    The covariance algebra runs under ``default_matmul_precision
+    ("float32")``: TPU matmuls default to bf16 multiplicands, whose
+    ~3-decimal-digit mantissa destroys the PSD structure of P within a
+    few hundred ticks (NaN via the downstream Cholesky). The 21×21
+    matmuls are trivially small, so full precision costs nothing.
+    """
+    with jax.default_matmul_precision("float32"):
+        return _predict(params, est, gyro, accel, contact, dt)
+
+
+def _predict(params, est, gyro, accel, contact, dt):
     dtype = est.position.dtype
     dt = jnp.asarray(dt, dtype)
     g = jnp.array([0.0, 0.0, -GRAVITY], dtype)
@@ -167,7 +179,15 @@ def update(
     q_joints: jax.Array,  # (4,3) measured joint positions
     contact: jax.Array,  # (4,) bool
 ) -> EstimatorState:
-    """Joint kinematic update: fuse FK foot positions of stance legs."""
+    """Joint kinematic update: fuse FK foot positions of stance legs.
+
+    Full f32 matmul precision for the same PSD reason as :func:`predict`.
+    """
+    with jax.default_matmul_precision("float32"):
+        return _update(model, params, est, q_joints, contact)
+
+
+def _update(model, params, est, q_joints, contact):
     dtype = est.position.dtype
     R = matrix_from_quat(est.quaternion)
     Rt = R.T

@@ -239,8 +239,18 @@ def _constrained_accel(m_mat, h_vec, tau_gen, j_c, b_c, mask3):
     return sol[:18], sol[18:].reshape(4, 3)
 
 
-def _substep(model: RobotModel, carry, tau, h, support_cmd, gz4):
-    """One semi-implicit Euler substep of the constrained dynamics."""
+def _substep(model: RobotModel, carry, tau, h, support_cmd, gz4, mu=None):
+    """One semi-implicit Euler substep of the constrained dynamics.
+
+    With ``mu`` (trace-static float or None), contact forces are limited
+    to the Coulomb cone: pinned feet whose bilateral solution needs
+    |λ_t| > μ·λ_n break tangential stick and SLIDE — a third masked KKT
+    solve keeps only their normal row active and applies saturated
+    kinetic friction μ·λ_n opposite the slip velocity as an external
+    force. ``mu=None`` (default) is the rigid-stick model validated in
+    round 2. ≙ Gazebo's ODE friction-pyramid contact (the reference's μ
+    lives in ``controller_gains.yaml:37-39``).
+    """
     base, q, qd, pinned, anchors = carry
     dtype = q.dtype
 
@@ -284,6 +294,47 @@ def _substep(model: RobotModel, carry, tau, h, support_cmd, gz4):
     vdot, lam = _constrained_accel(m_mat, h_vec, tau_gen, j_c, b_c, mask3b)
     lam = jnp.where(mask2[:, None], lam, 0.0)
 
+    if mu is not None:
+        # Coulomb-cone check on the bilateral (stick) solution.
+        lam_t = jnp.linalg.norm(lam[:, :2], axis=1)
+        lam_n = jnp.maximum(lam[:, 2], 0.0)
+        slipping = mask2 & (lam_t > mu * lam_n + 1e-9)
+        # Kinetic friction opposes the slip velocity; at stick-break onset
+        # (v_t ≈ 0) it stays saturated along the direction stick WAS
+        # applying (λ̂_t), so the transition is force-continuous.
+        vt = kin_dot["feet"][:, :2]
+        vt_n = jnp.linalg.norm(vt, axis=1, keepdims=True)
+        dir_f = jnp.where(
+            vt_n > 1e-3,
+            -vt / jnp.maximum(vt_n, 1e-9),
+            lam[:, :2] / jnp.maximum(lam_t, 1e-9)[:, None],
+        )
+        f_t = mu * lam_n[:, None] * dir_f  # (4,2) world tangential force
+        f_ext = jnp.concatenate(
+            [f_t, jnp.zeros((4, 1), dtype)], axis=1
+        ) * slipping[:, None]
+        # sliding feet keep only their normal constraint row
+        keep_row = ~(
+            jnp.repeat(slipping, 3)
+            & jnp.tile(jnp.array([True, True, False]), 4)
+        )
+        mask3c = mask3b & keep_row
+        tau_gen_f = tau_gen + j_c.T @ f_ext.reshape(12)
+        vdot, lam3 = _constrained_accel(
+            m_mat, h_vec, tau_gen_f, j_c, b_c, mask3c
+        )
+        lam = jnp.where(
+            slipping[:, None],
+            jnp.concatenate([f_t, lam3[:, 2:3]], axis=1),
+            lam3,
+        )
+        lam = jnp.where(mask2[:, None], lam, 0.0)
+        # a sliding foot's anchor follows it (re-sticks wherever the slide
+        # ends, once the required force falls back inside the cone)
+        anchors = jnp.where(
+            slipping[:, None], feet.at[:, 2].set(gz4), anchors
+        )
+
     # --- semi-implicit Euler ------------------------------------------------
     v = jnp.concatenate(
         [base.linear_velocity, base.angular_velocity, qd.reshape(-1)]
@@ -311,11 +362,14 @@ def step(
     support: jax.Array | None = None,  # (4,) bool commanded contact state
     ground_height: jax.Array | float = 0.0,
     substeps: int = SUBSTEPS,
+    friction_mu: float | None = None,
 ) -> SimState:
     """One coupled-physics step; drop-in for ``simulator.step``.
 
     ``sim.feet_world`` carries the pinned-foot anchors (swing feet are FK
     positions); ``sim.robot.support`` is the realized pin state.
+    ``friction_mu`` (trace-static) bounds contact forces by the Coulomb
+    cone and lets feet slide when it is exceeded; None = rigid stick.
     """
     robot = sim.robot
     dtype = tau.dtype
@@ -326,7 +380,7 @@ def step(
 
     carry0 = (robot.base, robot.q, robot.qd, robot.support, sim.feet_world)
     carry, lams = jax.lax.scan(
-        lambda c, _: _substep(model, c, tau, h, support, gz4),
+        lambda c, _: _substep(model, c, tau, h, support, gz4, mu=friction_mu),
         carry0,
         None,
         length=substeps,

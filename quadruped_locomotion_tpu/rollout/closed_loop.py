@@ -29,7 +29,9 @@ from ..control.locomotion import ControllerParams, locomotion_update
 from ..control.swing import joint_pd_gravity_torques
 from ..gait import gait_generator as gg
 from ..gait.phase import GaitParams
+from ..model.kinematics import foot_velocities, forward_kinematics
 from ..types import RobotModel
+from ..utils.rotations import quat_rotate
 from . import articulated as artlib
 from . import simulator as simlib
 
@@ -43,6 +45,20 @@ CONTROL_DT = PLANNER_DT / CONTROL_SUBSTEPS
 # "massless" is the decoupled trunk+swing-leg abstraction: ~3× cheaper,
 # kept for throughput-critical sweeps and A/B comparisons.
 PLANTS = {"articulated": artlib.step, "massless": simlib.step}
+
+
+def measured_foot_speed_tangential(model, robot) -> jax.Array:
+    """(4,) world-frame tangential foot speeds from *measured* kinematics
+    (encoders + base state) — the quantity a slip detector on the real
+    robot computes; feeds the FSM's ``STANCE_SLIPPING`` detection
+    (≙ StateSwitcher.hpp:55, detect-only in the reference)."""
+    v_rel_b = foot_velocities(model, robot.q, robot.qd)
+    r_b = forward_kinematics(model, robot.q)
+    w = robot.base.angular_velocity
+    v_w = robot.base.linear_velocity + quat_rotate(
+        robot.base.quaternion[None], jnp.cross(w[None, :], r_b) + v_rel_b
+    )
+    return jnp.linalg.norm(v_w[:, :2], axis=1)
 
 
 @struct.dataclass
@@ -91,6 +107,7 @@ def planner_tick(
     terrain=None,
     telemetry_fn=None,
     plant: str = "articulated",
+    friction_mu: float | None = None,
 ):
     """One 100 Hz planner tick + 4 control/physics substeps.
 
@@ -130,7 +147,10 @@ def planner_tick(
             gz = jax.vmap(terrain.height_at)(sim.feet_world[:, :2])
         contact = simlib.contact_sensor(sim, ground_height=gz)
         fsm_state2, fsm = fsm_step(
-            fsm_state, support, contact, sw_norm, st_norm, sim.robot.q
+            fsm_state, support, contact, sw_norm, st_norm, sim.robot.q,
+            foot_speed_tangential=measured_foot_speed_tangential(
+                model, sim.robot
+            ),
         )
         pos_r, vel_r, acc_r = apply_swing_reflexes(
             pos_w, vel_w, acc_w, sim.feet_world, fsm, ground_height=gz
@@ -148,9 +168,14 @@ def planner_tick(
             model, state, fsm.q_freeze, jnp.zeros_like(fsm.q_freeze)
         )
         tau = jnp.where(fsm.freeze[:, None], tau_freeze, tau)
+        plant_kwargs = (
+            {"friction_mu": friction_mu}
+            if friction_mu is not None and plant == "articulated"
+            else {}
+        )
         sim2 = PLANTS[plant](
             model, sim, tau, CONTROL_DT, support=fsm.support,
-            ground_height=gz,
+            ground_height=gz, **plant_kwargs,
         )
         extras = () if telemetry_fn is None else telemetry_fn(state, tau, diag)
         return (sim2, fsm_state2), (
@@ -178,6 +203,7 @@ def rollout(
     terrain=None,
     telemetry_fn=None,
     plant: str = "articulated",
+    friction_mu: float | None = None,
 ):
     """Full closed-loop rollout. Returns (final state, per-tick telemetry)."""
 
@@ -185,6 +211,7 @@ def rollout(
         ls2, tick_out = planner_tick(
             model, params, gait_params, ls, command, qp_iters=qp_iters,
             terrain=terrain, telemetry_fn=telemetry_fn, plant=plant,
+            friction_mu=friction_mu,
         )
         kkt = tick_out if telemetry_fn is None else tick_out[0]
         telemetry = {

@@ -227,3 +227,52 @@ def test_massless_plant_still_supported():
     assert np.isfinite(bp).all()
     assert (bp[:, 2] > 0.3).all()
     assert bp[-1, 0] > 0.3
+
+
+def test_friction_cone_lets_feet_slide():
+    """A laterally-kicked trunk with PD-held posture: stick needs
+    tangential forces outside a μ=0.05 cone, so the cone plant must let
+    the feet slide while the rigid-stick plant holds them fixed — and
+    the slide must decelerate at roughly the kinetic-friction rate μ·g
+    (Coulomb physics, not an arbitrary damper)."""
+    from quadruped_locomotion_tpu.control.swing import (
+        joint_pd_gravity_torques,
+    )
+    from quadruped_locomotion_tpu.rollout.simulator import (
+        default_stance_state,
+    )
+
+    model = RobotModel.simpledog()
+    sim0 = default_stance_state(model)
+    q_hold = sim0.robot.q
+    kick = sim0.robot.base.replace(
+        linear_velocity=jnp.array([0.0, 0.3, 0.0])
+    )
+    sim0 = sim0.replace(robot=sim0.robot.replace(base=kick))
+
+    def step(s, mu):
+        tau = joint_pd_gravity_torques(
+            model, s.robot, q_hold, jnp.zeros_like(q_hold)
+        )
+        return art.step(model, s, tau, 0.0025, friction_mu=mu)
+
+    step_ice = jax.jit(lambda s: step(s, 0.05))
+    step_grip = jax.jit(lambda s: step(s, None))
+    s_ice, s_grip = sim0, sim0
+    for _ in range(80):  # 0.2 s
+        s_ice = step_ice(s_ice)
+        s_grip = step_grip(s_grip)
+
+    slide_ice = np.abs(
+        np.asarray(s_ice.feet_world[:, 1] - sim0.feet_world[:, 1])
+    ).max()
+    slide_grip = np.abs(
+        np.asarray(s_grip.feet_world[:, 1] - sim0.feet_world[:, 1])
+    ).max()
+    assert slide_grip < 1e-6, slide_grip  # rigid stick: anchors immobile
+    assert slide_ice > 0.02, slide_ice  # ice: feet really slid
+    # deceleration ≈ μ·g = 0.49 m/s² → Δv ≈ 0.10 over 0.2 s (±50% for
+    # load transfer between the four feet during the slide)
+    dv = 0.3 - float(s_ice.robot.base.linear_velocity[1])
+    assert 0.05 < dv < 0.15, dv
+    assert np.isfinite(np.asarray(s_ice.robot.base.position)).all()
