@@ -111,20 +111,22 @@ class ActionRegistry:
                             file=os.path.join(root, fn),
                         )
 
+    #: action types the loader can execute (≙ action_handling.ActionType)
+    TYPES = ("yaml", "combined_yaml", "python", "launch")
+
     def _load_action_decls(self, path: str, root: str) -> None:
         with open(path) as f:
             doc = yaml.safe_load(f) or {}
         for item in doc.get("actions", []) or []:
             a = item.get("action", item)
-            if str(a.get("type", "yaml")) != "yaml":
-                # python/launch action types are ROS-host concepts; the
-                # TPU build only executes declarative yaml scripts.
+            atype = str(a.get("type", "yaml"))
+            if atype not in self.TYPES:
                 continue
             entry = ActionEntry(
                 id=str(a["id"]),
                 name=str(a.get("name", a["id"])),
                 file=os.path.normpath(os.path.join(root, a["file"])),
-                type="yaml",
+                type=atype,
                 description=str(a.get("description", "")),
             )
             self.actions[entry.id] = entry
@@ -182,3 +184,132 @@ def default_registry() -> ActionRegistry:
     """Registry over the bundled action library (≙ my_actions)."""
     here = os.path.dirname(__file__)
     return ActionRegistry([os.path.join(here, "action_library")])
+
+
+class ActionLoader:
+    """Executes registry actions through the lifecycle state machine
+    against a live :class:`~..runtime.action_server.FreeGaitActionServer`
+    — ≙ the reference's ActionLoader node (``action_loader.py:82-197``):
+    one current action at a time, per-type construction
+    (yaml/combined_yaml/python/launch), callback registration, start when
+    INITIALIZED, and sequence chaining from the done callback.
+
+    The reference's loader spins ROS; here the host pumps
+    :meth:`pump` (each pump = one server planner tick + subprocess
+    polling), so lifecycle transitions stay deterministic.
+    """
+
+    def __init__(self, server, registry: ActionRegistry | None = None):
+        from . import action as action_mod
+
+        self._A = action_mod
+        self.server = server
+        self.registry = registry or default_registry()
+        self.action = None  # the current ActionBase
+        self.action_sequence_queue: list[str] = []
+        self.state_log: list[int] = []  # lifecycle transitions observed
+
+    # -- ≙ send_action service ------------------------------------------
+
+    def send_action(self, action_id: str):
+        """Load + start the action; returns the live ActionBase (raises
+        KeyError for unknown ids ≙ RESULT_NOT_FOUND)."""
+        self.reset()
+        entry = self.registry.actions[action_id]
+        A = self._A
+        if entry.type == "yaml":
+            with open(entry.file) as f:
+                doc = yaml.safe_load(f)
+            self.action = A.SimpleAction(self.server, doc)
+        elif entry.type == "combined_yaml":
+            act = A.CombinedYamlAction(self.server)
+            act.set_goal_from_file(entry.file)
+            self.action = act
+        elif entry.type == "python":
+            self.action = self._load_python_action(entry.file)
+        elif entry.type == "launch":
+            self.action = A.SubprocessAction(self.server, [entry.file])
+        else:  # pragma: no cover — filtered at discovery
+            raise ValueError(entry.type)
+
+        self.action.register_callback(
+            self._feedback_callback, self._done_callback
+        )
+        if self.action.state == A.ActionState.INITIALIZED:
+            self.action.start()
+        return self.action
+
+    def _load_python_action(self, file_path: str):
+        """≙ _load_python_action (:172-178): execute the script, which
+        must leave an ``action`` object behind. The script sees
+        ``server``, ``action_loader``, and the :mod:`.action` API."""
+        ns = {
+            "server": self.server,
+            "action_loader": self,
+            "free_gait_action": self._A,
+        }
+        with open(file_path) as f:
+            code = f.read()
+        exec(compile(code, file_path, "exec"), ns)
+        if "action" not in ns:
+            raise ValueError(f"{file_path} did not define `action`")
+        return ns["action"]
+
+    # -- ≙ send_action_sequence service ---------------------------------
+
+    def send_action_sequence(self, action_ids) -> None:
+        """Run actions back-to-back: each DONE triggers the next
+        (≙ _load_next_action_in_sequence, :198-207)."""
+        ids = list(action_ids)
+        if not ids:
+            return
+        self.action_sequence_queue = ids[1:]
+        self.send_action(ids[0])
+
+    # -- pumping ---------------------------------------------------------
+
+    def pump(self, n_ticks: int = 1) -> None:
+        """Advance the server + poll process actions."""
+        for _ in range(n_ticks):
+            self.server.tick()
+            if self.action is not None and hasattr(self.action, "poll"):
+                self.action.poll()
+
+    def pump_until(self, states, max_ticks: int = 20_000) -> bool:
+        """Pump until the current action reaches one of ``states``."""
+        if not isinstance(states, (list, tuple, set)):
+            states = (states,)
+        for _ in range(max_ticks):
+            if self.action is not None and self.action.state in states:
+                return True
+            self.pump()
+        return self.action is not None and self.action.state in states
+
+    # -- callbacks / teardown -------------------------------------------
+
+    def _feedback_callback(self) -> None:
+        if self.action is not None:
+            self.state_log.append(self.action.state)
+
+    def _done_callback(self) -> None:
+        if self.action is not None:
+            self.state_log.append(self.action.state)
+        if self.action_sequence_queue:
+            if (
+                self.action is not None
+                and self.action.state == self._A.ActionState.DONE
+            ):
+                next_id = self.action_sequence_queue.pop(0)
+                self.send_action(next_id)
+            else:  # error: purge the rest (≙ :205-207)
+                self.action_sequence_queue = []
+
+    def reset(self) -> None:
+        """≙ ActionLoader.reset: stop and drop the current action."""
+        if self.action is not None and self.action.state in (
+            self._A.ActionState.PENDING,
+            self._A.ActionState.ACTIVE,
+            self._A.ActionState.IDLE,
+        ):
+            self.action.stop()
+        self.action = None

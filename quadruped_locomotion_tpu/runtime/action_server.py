@@ -353,7 +353,10 @@ class FreeGaitActionServer:
         fb = self._build_feedback()
         self.last_feedback = fb
         if fb is not None:
-            for g in self._goals:
+            # snapshot: a feedback callback may submit a new goal (the
+            # continuous-action continuation pattern); goals appended
+            # mid-delivery must not receive this tick's stale feedback
+            for g in list(self._goals):
                 if not g.done and g.feedback_cb is not None:
                     g.feedback_cb(fb)
         return fb
