@@ -217,6 +217,7 @@ def rollout(
         telemetry = {
             "base_position": ls2.sim.robot.base.position,
             "base_quaternion": ls2.sim.robot.base.quaternion,
+            "base_velocity": ls2.sim.robot.base.linear_velocity,
             "feet_world": ls2.sim.feet_world,
             "support": ls2.gait.phase.support,
             "leg_state": ls2.fsm.leg_state,
