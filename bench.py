@@ -344,6 +344,79 @@ def sweep_main(batch: int = 1024, ticks: int = 100):
     )
 
 
+def roofline_main(batch: int = 4096, iters: int = 15):
+    """Speed-of-light accounting for the headline QP kernel
+    (`bench.py --roofline [batch]`): exact FLOPs/solve from XLA's cost
+    analysis of the identical-math XLA path, combined with the measured
+    kernel throughput → achieved FLOP/s and % of the v5e VPU ceiling.
+
+    The kernel is VPU work (per-instance scalar algebra vectorized over
+    the batch in the (8,128) lanes — no matmuls, so the MXU ceiling is
+    irrelevant). v5e VPU ceiling: 8·128 lanes × 4 ALUs × 2 (FMA)
+    × ~1.5 GHz ≈ 12.3 TFLOP/s (≈6.1 TFLOP/s if the op mix has no FMA
+    fusion); the kernel's mix is mostly madds, so we report against the
+    FMA ceiling (conservative for utilization claims)."""
+    from quadruped_locomotion_tpu.ops import qp, qp_pallas
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    prob = build_batch(batch)
+    A, b, S, W, D, d = prob
+
+    # exact FLOPs of the same math (fixed-iteration IPM + polish)
+    xla_solver = jax.jit(
+        jax.vmap(lambda A, b, S, W, D, d: qp.solve_weighted_ls_qp(
+            A, S, b, W, D, d, iters=iters
+        ))
+    )
+    ca = xla_solver.lower(*prob).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    flops_per_solve = float(ca["flops"]) / batch
+
+    # measured kernel throughput (pallas on TPU, xla elsewhere)
+    if on_tpu:
+        @jax.jit
+        def solve_all(A, b, S, W, D, d):
+            x, s, z, kkt = qp_pallas.solve_weighted_ls_fd_qp(
+                A, S, b, W, D, d, iters=iters
+            )
+            return x
+    else:
+        def solve_all(*p):
+            return xla_solver(*p).x
+
+    jax.block_until_ready(solve_all(*prob))
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x = solve_all(*prob)
+    jax.block_until_ready(x)
+    solves_per_s = batch * reps / (time.perf_counter() - t0)
+
+    achieved = solves_per_s * flops_per_solve
+    VPU_PEAK_FMA = 12.3e12
+    frac = achieved / VPU_PEAK_FMA
+    print(
+        f"device={dev} backend={'pallas' if on_tpu else 'xla'} "
+        f"flops/solve={flops_per_solve:.0f} solves/s={solves_per_s:.3e} "
+        f"achieved={achieved/1e9:.1f} GFLOP/s "
+        f"vpu_frac={100*frac:.2f}% (FMA ceiling 12.3 TF/s)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "QP kernel roofline (fraction of v5e VPU FMA peak)",
+                "value": round(100 * frac, 2),
+                "unit": "% of 12.3 TFLOP/s",
+                "vs_baseline": round(solves_per_s / 10_000, 1),
+                "flops_per_solve": round(flops_per_solve),
+                "solves_per_s": round(solves_per_s),
+            }
+        )
+    )
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     batch = int(args[0]) if args else 4096
@@ -353,6 +426,8 @@ def main():
         return latency_main(int(args[0]) if args else 400)
     if "--sweep" in sys.argv[1:]:
         return sweep_main(int(args[0]) if args else 1024)
+    if "--roofline" in sys.argv[1:]:
+        return roofline_main(batch)
     iters = 15
     from quadruped_locomotion_tpu.ops import qp, qp_pallas
 
