@@ -429,6 +429,9 @@ def main():
     if "--roofline" in sys.argv[1:]:
         return roofline_main(batch)
     iters = 15
+    for a in sys.argv[1:]:
+        if a.startswith("--iters="):
+            iters = int(a.split("=")[1])
     from quadruped_locomotion_tpu.ops import qp, qp_pallas
 
     dev = jax.devices()[0]
