@@ -168,6 +168,52 @@ def scaling_main(batch: int):
     )
 
 
+def _latency_measure(n_ticks: int = 400):
+    """Device-resident closed-loop 400 Hz control-tick latency on the
+    articulated-plant default; returns (p50_ms, p99_ms, disp_p50_ms)."""
+    from quadruped_locomotion_tpu.control.locomotion import ControllerParams
+    from quadruped_locomotion_tpu.gait.phase import GaitParams
+    from quadruped_locomotion_tpu.rollout import closed_loop as cl
+    from quadruped_locomotion_tpu.types import RobotModel
+
+    model = RobotModel.simpledog()
+    params = ControllerParams.defaults()
+    gp = GaitParams.trot_defaults()
+    ls = cl.init_locomotion(model, gp)
+    cmd = cl.Command(
+        linear_velocity=jnp.array([0.2, 0.0, 0.0]), yaw_rate=jnp.asarray(0.0)
+    )
+    chunk = 25  # planner ticks per dispatch = 100 control ticks
+    roll = jax.jit(
+        lambda s: cl.rollout(model, params, gp, s, cmd, chunk)[0]
+    )
+    ls = roll(ls)
+    jax.block_until_ready(ls)
+    n_chunks = max(n_ticks // chunk, 8)
+    t_chunks = np.empty(n_chunks)
+    for i in range(n_chunks):
+        t0 = time.perf_counter()
+        ls = roll(ls)
+        jax.block_until_ready(ls)
+        t_chunks[i] = time.perf_counter() - t0
+    per_ctrl_dev = t_chunks * 1e3 / (chunk * cl.CONTROL_SUBSTEPS)
+    p50, p99 = np.percentile(per_ctrl_dev, [50, 99])
+
+    tick = jax.jit(
+        lambda s: cl.planner_tick(model, params, gp, s, cmd, qp_iters=15)
+    )
+    ls2, _ = tick(ls)
+    jax.block_until_ready(ls2)
+    t_disp = np.empty(50)
+    for i in range(50):
+        t0 = time.perf_counter()
+        ls2, kkt = tick(ls2)
+        jax.block_until_ready(kkt)
+        t_disp[i] = time.perf_counter() - t0
+    disp_p50 = float(np.percentile(t_disp, 50)) * 1e3 / cl.CONTROL_SUBSTEPS
+    return float(p50), float(p99), disp_p50
+
+
 def latency_main(n_ticks: int = 400):
     """Latency mode (`bench.py --latency`): single-scenario closed-loop
     400 Hz control-tick latency, p50/p99, vs the reference's 2.5 ms
@@ -188,57 +234,10 @@ def latency_main(n_ticks: int = 400):
         sensor-in-the-loop deployment path; on this sandbox the TPU is
         reached through a network tunnel, so the RTT dominates and the
         number mostly measures the tunnel."""
-    from quadruped_locomotion_tpu.control.locomotion import ControllerParams
-    from quadruped_locomotion_tpu.gait.phase import GaitParams
-    from quadruped_locomotion_tpu.rollout import closed_loop as cl
-    from quadruped_locomotion_tpu.types import RobotModel
-
-    model = RobotModel.simpledog()
-    params = ControllerParams.defaults()
-    gp = GaitParams.trot_defaults()
-    ls = cl.init_locomotion(model, gp)
-    cmd = cl.Command(
-        linear_velocity=jnp.array([0.2, 0.0, 0.0]), yaw_rate=jnp.asarray(0.0)
-    )
-
     budget_ms = 2.5  # 400 Hz reference loop (BASELINE.md)
-
-    # (a) device-resident loop (the deployment path: run_schedule /
-    # rollout keep the whole two-rate loop on-chip in one lax.scan, the
-    # host syncs only at segment boundaries) — chunked scan, timed per
-    # chunk so we still get a p99 over many measurements.
-    chunk = 25  # planner ticks per dispatch = 100 control ticks
-    roll = jax.jit(
-        lambda s: cl.rollout(model, params, gp, s, cmd, chunk)[0]
-    )
-    ls = roll(ls)
-    jax.block_until_ready(ls)
-    n_chunks = max(n_ticks // chunk, 8)
-    t_chunks = np.empty(n_chunks)
-    for i in range(n_chunks):
-        t0 = time.perf_counter()
-        ls = roll(ls)
-        jax.block_until_ready(ls)
-        t_chunks[i] = time.perf_counter() - t0
-    per_ctrl_dev = t_chunks * 1e3 / (chunk * cl.CONTROL_SUBSTEPS)
-    p50, p99 = np.percentile(per_ctrl_dev, [50, 99])
-
-    # (b) per-dispatch latency (one planner tick per jit call — includes
-    # the host→device round trip each tick; on this sandbox the TPU is
-    # tunneled, so the RTT dominates and is reported for context only).
-    tick = jax.jit(
-        lambda s: cl.planner_tick(model, params, gp, s, cmd, qp_iters=15)
-    )
-    ls2, _ = tick(ls)
-    jax.block_until_ready(ls2)
-    t_disp = np.empty(50)
-    for i in range(50):
-        t0 = time.perf_counter()
-        ls2, kkt = tick(ls2)
-        jax.block_until_ready(kkt)
-        t_disp[i] = time.perf_counter() - t0
-    disp_p50 = float(np.percentile(t_disp, 50)) * 1e3 / cl.CONTROL_SUBSTEPS
-
+    p50, p99, disp_p50 = _latency_measure(n_ticks)
+    n_chunks = max(n_ticks // 25, 8)
+    chunk = 25
     print(
         f"device-resident per-400Hz-control-tick p50={p50:.4f} ms "
         f"p99={p99:.4f} ms over {n_chunks}x{chunk} planner ticks "
@@ -262,17 +261,12 @@ def latency_main(n_ticks: int = 400):
     )
 
 
-def sweep_main(batch: int = 1024, ticks: int = 100):
-    """Scenario-sweep mode (`bench.py --sweep [batch]`): the FULL closed
-    loop (gait engine + executor outputs + contact FSM + VMC + QP +
-    torque map + plant) vmapped over `batch` independent command
-    scenarios on one chip — the BASELINE's "N parallel terrain/gait/
-    velocity scenarios" workload end-to-end, not just the QP kernel.
-
-    Reports scenario·sim-seconds per wall-second: how many robots' worth
-    of real-time 100 Hz control streams one chip sustains. The reference
-    runs exactly ONE robot in real time on a CPU (vs_baseline = that
-    multiple)."""
+def _sweep_measure(batch: int, ticks: int, qp_backend: str, reps: int = 3):
+    """Time the FULL closed loop (gait engine + executor outputs +
+    contact FSM + VMC + QP + torque map + plant) over `batch` command
+    scenarios with the batched in-loop QP dispatch (`qp_backend` selects
+    the solver that runs INSIDE each 400 Hz control substep — the
+    product hot path, ≙ ContactForceDistribution.cpp:490)."""
     from quadruped_locomotion_tpu.control.locomotion import ControllerParams
     from quadruped_locomotion_tpu.gait.phase import GaitParams
     from quadruped_locomotion_tpu.rollout import closed_loop as cl
@@ -303,42 +297,83 @@ def sweep_main(batch: int = 1024, ticks: int = 100):
 
     @jax.jit
     def sweep(ls):
-        return jax.vmap(
-            lambda l, c: cl.rollout(model, params, gp, l, c, ticks)
-        )(ls, cmds)
+        return cl.rollout(
+            model, params, gp, ls, cmds, ticks,
+            batched=True, qp_backend=qp_backend,
+        )
 
-    ls_b, tel = sweep(ls_b)
-    jax.block_until_ready(ls_b)
-    reps = 3
+    out_b, tel = sweep(ls_b)
+    jax.block_until_ready(out_b)
     t0 = time.perf_counter()
     for _ in range(reps):
-        ls_b, tel = sweep(ls_b)
-    jax.block_until_ready(ls_b)
+        out_b, tel = sweep(ls_b)
+    jax.block_until_ready(out_b)
     dt_wall = (time.perf_counter() - t0) / reps
 
     sim_seconds = batch * ticks * 0.01
     rt_factor = sim_seconds / dt_wall
-    base = np.asarray(tel["base_position"])  # (B, T, 3)
-    finite = np.isfinite(base).all()
-    upright = float((base[:, -1, 2] > 0.25).mean())
+    base = np.asarray(tel["base_position"])  # (T, B, 3)
+    finite = bool(np.isfinite(base).all())
+    upright = float((base[-1, :, 2] > 0.25).mean())
     kkt = np.asarray(tel["qp_kkt"])
+    return {
+        "rt_factor": rt_factor,
+        "wall_s": dt_wall,
+        "finite": finite,
+        "upright_frac": upright,
+        "p99_kkt": float(np.percentile(kkt, 99)),
+        "backend": qp_backend,
+        "batch": batch,
+        "ticks": ticks,
+    }
+
+
+def sweep_main(batch: int = 1024, ticks: int = 100):
+    """Scenario-sweep mode (`bench.py --sweep [batch]`): the BASELINE's
+    "N parallel terrain/gait/velocity scenarios" workload end-to-end.
+    Each 400 Hz control substep makes ONE batched QP dispatch — the
+    Pallas kernel on TPU, the XLA IPM elsewhere — so this measures the
+    kernel IN the product loop, not beside it.
+
+    Reports scenario·sim-seconds per wall-second: how many robots' worth
+    of real-time 100 Hz control streams one chip sustains. The reference
+    runs exactly ONE robot in real time on a CPU (vs_baseline = that
+    multiple). On TPU also measures the XLA-backend loop for the
+    pallas-vs-xla in-loop speedup."""
+    on_tpu = jax.devices()[0].platform == "tpu"
+    backend = "pallas" if on_tpu and batch >= 1024 else "xla"
+    res = _sweep_measure(batch, ticks, backend)
+    speedup = None
+    if backend == "pallas":
+        res_xla = _sweep_measure(batch, ticks, "xla")
+        speedup = res_xla["wall_s"] / res["wall_s"]
+        print(
+            f"in-loop backend speedup: pallas {res['wall_s']:.3f}s vs "
+            f"xla {res_xla['wall_s']:.3f}s → {speedup:.2f}x",
+            file=sys.stderr,
+        )
     print(
-        f"batch={batch} ticks={ticks} wall={dt_wall:.3f}s "
-        f"rt_factor={rt_factor:.1f} finite={finite} "
-        f"upright_frac={upright:.3f} p99_kkt={np.percentile(kkt,99):.2e}",
+        f"batch={batch} ticks={ticks} backend={res['backend']} "
+        f"wall={res['wall_s']:.3f}s rt_factor={res['rt_factor']:.1f} "
+        f"finite={res['finite']} upright_frac={res['upright_frac']:.3f} "
+        f"p99_kkt={res['p99_kkt']:.2e}",
         file=sys.stderr,
     )
-    if not finite or upright < 0.9:
+    if not res["finite"] or res["upright_frac"] < 0.9:
         print("WARNING: sweep health check failed", file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "closed-loop scenario sweep "
                 "(robots simulated+controlled in real time per chip)",
-                "value": round(rt_factor, 1),
+                "value": round(res["rt_factor"], 1),
                 "unit": "robots (scenario.sim-s/wall-s)",
-                "vs_baseline": round(rt_factor / 1.0, 1),
-                "upright_frac": upright,
+                "vs_baseline": round(res["rt_factor"] / 1.0, 1),
+                "upright_frac": res["upright_frac"],
+                "qp_backend": res["backend"],
+                "pallas_vs_xla_speedup": None
+                if speedup is None
+                else round(speedup, 2),
             }
         )
     )
@@ -541,6 +576,37 @@ def main():
         if rel > 1e-4 or rel_p99 > 1e-3:
             print("WARNING: backend agreement check failed", file=sys.stderr)
 
+    # --- whole-system extras in the same artifact (one JSON per round
+    # must capture kernel + latency + sweep, not just the kernel) -------
+    extras = {}
+    if "--kernel-only" not in sys.argv[1:]:
+        try:
+            lat_p50, lat_p99, lat_disp = _latency_measure(200)
+            extras["latency_p50_ms"] = round(lat_p50, 4)
+            extras["latency_p99_ms"] = round(lat_p99, 4)
+            extras["latency_per_dispatch_p50_ms"] = round(lat_disp, 3)
+            print(
+                f"latency: device-resident per-400Hz-tick p50={lat_p50:.4f} "
+                f"p99={lat_p99:.4f} ms (budget 2.5 ms)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # pragma: no cover — keep the artifact
+            print(f"latency extra failed: {e!r}", file=sys.stderr)
+        try:
+            sweep_backend = "pallas" if use_pallas else "xla"
+            sw = _sweep_measure(batch, 50, sweep_backend, reps=2)
+            extras["sweep_robots_realtime"] = round(sw["rt_factor"], 1)
+            extras["sweep_upright_frac"] = sw["upright_frac"]
+            extras["sweep_qp_backend"] = sw["backend"]
+            print(
+                f"sweep: batch={batch} backend={sw['backend']} "
+                f"rt_factor={sw['rt_factor']:.1f} "
+                f"upright={sw['upright_frac']:.3f}",
+                file=sys.stderr,
+            )
+        except Exception as e:  # pragma: no cover — keep the artifact
+            print(f"sweep extra failed: {e!r}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -557,6 +623,7 @@ def main():
                 "tail_oracle_gap_max": None
                 if oracle_gap is None
                 else float(f"{oracle_gap:.3g}"),
+                **extras,
             }
         )
     )

@@ -213,7 +213,19 @@ class ActionLoader:
 
     def send_action(self, action_id: str):
         """Load + start the action; returns the live ActionBase (raises
-        KeyError for unknown ids ≙ RESULT_NOT_FOUND)."""
+        KeyError for unknown ids ≙ RESULT_NOT_FOUND).
+
+        Entering this public service path purges any pending action
+        sequence (≙ the reference's per-service purge,
+        ``action_loader.py:71/79/85``) — interrupting a running sequence
+        with a direct send must not leave stale queued ids that would
+        resume executing when the new action completes. The sequence
+        chainer uses :meth:`_send_action_internal` to keep its queue.
+        """
+        self.action_sequence_queue = []
+        return self._send_action_internal(action_id)
+
+    def _send_action_internal(self, action_id: str):
         self.reset()
         entry = self.registry.actions[action_id]
         A = self._A
@@ -263,8 +275,8 @@ class ActionLoader:
         ids = list(action_ids)
         if not ids:
             return
+        self._send_action_internal(ids[0])
         self.action_sequence_queue = ids[1:]
-        self.send_action(ids[0])
 
     # -- pumping ---------------------------------------------------------
 
@@ -300,7 +312,15 @@ class ActionLoader:
                 and self.action.state == self._A.ActionState.DONE
             ):
                 next_id = self.action_sequence_queue.pop(0)
-                self.send_action(next_id)
+                try:
+                    self._send_action_internal(next_id)
+                except Exception:  # noqa: BLE001 — unknown/broken id
+                    # ≙ _load_next_action_in_sequence's purge-on-failure
+                    # (:205-207): surface via state, don't raise from
+                    # deep inside server.tick().
+                    self.action_sequence_queue = []
+                    self.action = None
+                    self.state_log.append(self._A.ActionState.ERROR)
             else:  # error: purge the rest (≙ :205-207)
                 self.action_sequence_queue = []
 

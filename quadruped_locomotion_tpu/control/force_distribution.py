@@ -114,6 +114,64 @@ def build_qp(
     return A, b, S, W, D, d_leg
 
 
+def solve_fd_qp_batched(
+    A: jax.Array,  # (B,6,12)
+    b: jax.Array,  # (B,6)
+    S: jax.Array,  # (B,6)
+    W: jax.Array,  # (B,12)
+    D: jax.Array,  # (B,20,12)
+    d: jax.Array,  # (B,20)
+    iters: int = 15,
+    backend: str = "auto",
+) -> qp.QpSolution:
+    """ONE solver dispatch for a whole batch of force-distribution QPs.
+
+    This is the product's QP entry point for batched rollouts: instead of
+    vmapping the generic XLA IPM per scenario (per-element loops, terrible
+    occupancy at n=12), the entire batch goes to the lane-tiled Pallas
+    kernel in a single call — the batch lives in the (8,128) vector
+    lanes, so the chip does dense VPU math with zero wasted lanes
+    (≙ the role of OOQP inside the controller tick,
+    ``ContactForceDistribution.cpp:490`` — the QP *inside* the hot loop).
+
+    ``backend``: "pallas" | "xla" | "auto" | "pallas_interpret". "auto"
+    picks the Pallas kernel on TPU when the batch is big enough to fill
+    at least one (8,128)-lane tile; the XLA IPM otherwise (CPU tests,
+    small batches). "pallas_emulate" runs the exact kernel trace as
+    plain JAX ops (CPU test coverage of the kernel code path).
+    Both backends implement the same fixed-iteration Mehrotra IPM +
+    active-set polish and agree to float32 tolerance (gated by
+    ``tests/test_qp_pallas.py`` and the in-loop equivalence test).
+    """
+    B = A.shape[0]
+    if backend == "auto":
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu" and B >= 1024
+            else "xla"
+        )
+    if backend in ("pallas", "pallas_emulate"):
+        from ..ops import qp_pallas
+
+        x, s, z, kkt = qp_pallas.solve_weighted_ls_fd_qp(
+            A, S, b, W, D, d, iters=iters,
+            emulate=(backend == "pallas_emulate"),
+        )
+        return qp.QpSolution(
+            x=x,
+            z=z,
+            y=jnp.zeros((B, 0), x.dtype),
+            s=s,
+            iterations=jnp.full((B,), iters, jnp.int32),
+            kkt_error=kkt,
+        )
+    return jax.vmap(
+        lambda A, b, S, W, D, d: qp.solve_weighted_ls_qp(
+            A, S, b, W, D, d, iters=iters
+        )
+    )(A, b, S, W, D, d)
+
+
 def distribute(
     model: RobotModel,
     params: CfdParams,

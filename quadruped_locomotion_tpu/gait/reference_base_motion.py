@@ -67,8 +67,8 @@ def reference_update_base_motion(
     yaw_rate_desired=0.0,
     height: float | None = None,
     feet_support: jnp.ndarray | None = None,
-) -> BaseTarget:
-    """The full faithful law → BaseTarget (steps 1–5 above).
+) -> tuple[BaseTarget, jnp.ndarray]:
+    """The full faithful law → (BaseTarget, commanded speed) (steps 1–5).
 
     ``feet_world`` are the LIVE foot positions (the erf virtual points
     use ``getPositionWorldToFootInWorldFrame``, :441-443);

@@ -37,8 +37,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 N = 12  # primal variables (3 force components × 4 legs)
 MI = 20  # inequality rows (min normal force + 4-edge pyramid × 4 legs)
-TILE = (8, 128)  # one instance-batch tile: 1024 QPs
+# Default instance-batch tile (sublanes, lanes). The f32 VREG is (8,128);
+# taller tiles hold tile_rows/8 independent VREGs per problem scalar, so
+# every step of the serial Cholesky/solve dependency chain issues that
+# many independent VPU ops back-to-back — instruction-level parallelism
+# that hides the VPU result latency (the r3 roofline's
+# "multi-instance-per-lane packing" lever). Measured on v5e at batch
+# 4096 (best-of-3, 30 reps): 16 sublanes is the sweet spot (~+15% over
+# 8); 32/64 need a raised VMEM limit and lose it to spill traffic.
+TILE = (8, 128)
 TILE_B = TILE[0] * TILE[1]
+DEFAULT_TILE_ROWS = 16
 
 _DELTA = 1e-6  # Tikhonov regularization (matches ops/qp.py f32 policy)
 _S_FLOOR = 1e-9
@@ -166,16 +175,35 @@ def _step_len(v, dv):
     return jnp.minimum(jnp.float32(1.0), 0.995 * _min_over(ratios))
 
 
+def _step_len_recip(rv, dv):
+    """Fraction-to-boundary via precomputed reciprocals ``rv = 1/v``:
+    min_k(-v/dv | dv<0) = 1/max_k(-dv·rv | dv<0), so the whole search
+    costs ONE division instead of MI. VPU divides are the kernel's most
+    expensive scalar op (~10× a madd); the IPM's four step-length
+    searches per iteration were ~45% of its division count."""
+    terms = [
+        jnp.where(dv[k] < 0.0, -dv[k] * rv[k], jnp.float32(0.0))
+        for k in range(MI)
+    ]
+    m = _max_over(terms)  # ≥ 0; 0 ⇒ unbounded step (alpha = 1)
+    alpha = 0.995 / jnp.maximum(m, 1e-30)
+    return jnp.where(m > 0.0, jnp.minimum(jnp.float32(1.0), alpha),
+                     jnp.float32(1.0))
+
+
 def _ipm_kernel(iters: int, G_ref, g_ref, D_ref, d_ref, x_ref, s_ref,
                 z_ref, kkt_ref):
-    # ---- load the problem into registers: lists of (8,128) tiles ------
+    # ---- load the problem into registers: lists of (tr,128) tiles -----
+    # (tr sublanes = tr/8 independent f32 VREGs per problem scalar → ILP
+    # across instance groups through the serial factorization chain)
     G = [[G_ref[i * N + j] for j in range(N)] for i in range(N)]
     g = [g_ref[i] for i in range(N)]
     D = [[D_ref[k * N + j] for j in range(N)] for k in range(MI)]
     d = [d_ref[k] for k in range(MI)]
 
-    one = jnp.ones(TILE, jnp.float32)
-    zero = jnp.zeros(TILE, jnp.float32)
+    tile = tuple(g[0].shape)
+    one = jnp.ones(tile, jnp.float32)
+    zero = jnp.zeros(tile, jnp.float32)
 
     Greg = [[G[i][j] + (_DELTA if i == j else 0.0) for j in range(N)]
             for i in range(N)]
@@ -201,9 +229,9 @@ def _ipm_kernel(iters: int, G_ref, g_ref, D_ref, d_ref, x_ref, s_ref,
         jnp.stack(z),
         jnp.stack(x),  # best-so-far x
         jnp.stack(z),  # best-so-far z
-        jnp.full(TILE, jnp.inf, jnp.float32),  # best kkt
+        jnp.full(tile, jnp.inf, jnp.float32),  # best kkt
         zero,  # done mask (1.0 = frozen)
-        jnp.full(TILE, jnp.inf, jnp.float32),  # kkt
+        jnp.full(tile, jnp.inf, jnp.float32),  # kkt
     )
 
     def body(_, carry):
@@ -232,8 +260,12 @@ def _ipm_kernel(iters: int, G_ref, g_ref, D_ref, d_ref, x_ref, s_ref,
             mu = mu + s[k] * z[k]
         mu = mu * (1.0 / MI)
 
-        s_safe = [jnp.maximum(s[k], _S_FLOOR) for k in range(MI)]
-        zs_ratio = [z[k] / s_safe[k] for k in range(MI)]
+        # reciprocals once per iteration, reused by the Schur build, both
+        # KKT back-substitutions, and all four step-length searches —
+        # cuts the per-iteration VPU division count ~4× (181 → ~45).
+        rs = [1.0 / jnp.maximum(s[k], _S_FLOOR) for k in range(MI)]
+        rz = [1.0 / jnp.maximum(z[k], _S_FLOOR) for k in range(MI)]
+        zs_ratio = [z[k] * rs[k] for k in range(MI)]
         DS = [[D[k][j] * zs_ratio[k] for j in range(N)] for k in range(MI)]
 
         # M = Greg + Dᵀ diag(z/s) D (symmetric; build lower half)
@@ -253,7 +285,7 @@ def _ipm_kernel(iters: int, G_ref, g_ref, D_ref, d_ref, x_ref, s_ref,
                 acc = -r_d[i]
                 for k in range(MI):
                     acc = acc - D[k][i] * (
-                        (r_c[k] + z[k] * r_p[k]) / s_safe[k]
+                        (r_c[k] + z[k] * r_p[k]) * rs[k]
                     )
                 rhs.append(acc)
             dx = _scaled_solve(L, dsc, rhs)
@@ -264,15 +296,15 @@ def _ipm_kernel(iters: int, G_ref, g_ref, D_ref, d_ref, x_ref, s_ref,
                     acc = acc + D[k][j] * dx[j]
                 ds.append(acc)
             dz = [
-                -(r_c[k] + z[k] * ds[k]) / s_safe[k] for k in range(MI)
+                -(r_c[k] + z[k] * ds[k]) * rs[k] for k in range(MI)
             ]
             return dx, ds, dz
 
         # predictor
         r_c_aff = [s[k] * z[k] for k in range(MI)]
         dx_a, ds_a, dz_a = kkt_step(r_c_aff)
-        alpha_p = _step_len(s, ds_a)
-        alpha_d = _step_len(z, dz_a)
+        alpha_p = _step_len_recip(rs, ds_a)
+        alpha_d = _step_len_recip(rz, dz_a)
         mu_aff = zero
         for k in range(MI):
             mu_aff = mu_aff + (s[k] + alpha_p * ds_a[k]) * (
@@ -287,7 +319,7 @@ def _ipm_kernel(iters: int, G_ref, g_ref, D_ref, d_ref, x_ref, s_ref,
             s[k] * z[k] + ds_a[k] * dz_a[k] - sigma * mu for k in range(MI)
         ]
         dx, ds, dz = kkt_step(r_c)
-        alpha = jnp.minimum(_step_len(s, ds), _step_len(z, dz))
+        alpha = jnp.minimum(_step_len_recip(rs, ds), _step_len_recip(rz, dz))
 
         x_new = [x[i] + alpha * dx[i] for i in range(N)]
         s_new = [s[k] + alpha * ds[k] for k in range(MI)]
@@ -433,30 +465,51 @@ def _ipm_kernel(iters: int, G_ref, g_ref, D_ref, d_ref, x_ref, s_ref,
     kkt_ref[0] = kkt
 
 
-def _pack(x, nb):
-    """(B, E) → (nb, E, 8, 128): entry-major tiles, batch in lanes."""
+def _pack(x, nb, tile):
+    """(B, E) → (nb, E, tr, 128): entry-major tiles, batch in lanes."""
     b, e = x.shape
-    x = x.reshape(nb, TILE[0], TILE[1], e)
+    x = x.reshape(nb, tile[0], tile[1], e)
     return jnp.transpose(x, (0, 3, 1, 2))
 
 
 def _unpack(x):
-    """(nb, E, 8, 128) → (B, E)."""
-    nb, e = x.shape[0], x.shape[1]
-    return jnp.transpose(x, (0, 2, 3, 1)).reshape(nb * TILE_B, e)
+    """(nb, E, tr, 128) → (B, E)."""
+    nb, e, tr, tl = x.shape
+    return jnp.transpose(x, (0, 2, 3, 1)).reshape(nb * tr * tl, e)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
-def solve_fd_qp(G, g, D, d, iters: int = 15, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("iters", "interpret", "tile_rows")
+)
+def solve_fd_qp(
+    G, g, D, d,
+    iters: int = 15,
+    interpret: bool = False,
+    tile_rows: int | None = None,
+):
     """Batched force-distribution QP: min ½xᵀGx+gᵀx s.t. Dx ≥ d.
 
     Args: G (B,12,12), g (B,12), D (B,20,12), d (B,20), float32.
     Returns (x (B,12), s (B,20), z (B,20), kkt (B,)). The batch is
-    padded to a multiple of 1024 internally.
+    padded to a multiple of ``tile_rows·128`` internally.
+
+    ``tile_rows`` (multiple of 8) sets the sublane height of the
+    instance tile: tile_rows/8 independent f32 VREGs per problem scalar
+    give the VPU that much instruction-level parallelism through the
+    serial Cholesky/triangular-solve chains (the dominant latency at
+    these tiny dims). Default ``DEFAULT_TILE_ROWS``, capped so a small
+    batch doesn't pad to more than one tile.
     """
     B = G.shape[0]
-    nb = -(-B // TILE_B)
-    pad = nb * TILE_B - B
+    if tile_rows is None:
+        tile_rows = DEFAULT_TILE_ROWS
+    # don't pad a small batch up to a huge single tile
+    while tile_rows > 8 and (tile_rows // 2) * 128 >= B:
+        tile_rows //= 2
+    tile = (tile_rows, 128)
+    tile_b = tile_rows * 128
+    nb = -(-B // tile_b)
+    pad = nb * tile_b - B
 
     def prep(a, e):
         a = a.reshape(B, e).astype(jnp.float32)
@@ -464,7 +517,7 @@ def solve_fd_qp(G, g, D, d, iters: int = 15, interpret: bool = False):
             a = jnp.concatenate(
                 [a, jnp.broadcast_to(a[-1:], (pad, e))], axis=0
             )
-        return _pack(a, nb)
+        return _pack(a, nb, tile)
 
     Gp = prep(G, N * N)
     gp = prep(g, N)
@@ -474,7 +527,7 @@ def solve_fd_qp(G, g, D, d, iters: int = 15, interpret: bool = False):
     kernel = functools.partial(_ipm_kernel, iters)
     grid = (nb,)
     bs = lambda e: pl.BlockSpec(
-        (1, e) + TILE,
+        (1, e) + tile,
         lambda i: (i, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -486,16 +539,27 @@ def solve_fd_qp(G, g, D, d, iters: int = 15, interpret: bool = False):
             x_ref.at[0], s_ref.at[0], z_ref.at[0], kkt_ref.at[0],
         )
 
+    # Block VMEM footprint: (in 416 + out 53) scalars × tile bytes, plus
+    # Mosaic's spill/stack space for the unrolled algebra. The default
+    # 16 MiB scoped limit fits tile_rows ≤ 16; lift it for taller tiles
+    # (v5e has 128 MiB VMEM per core).
+    tile_bytes = tile[0] * tile[1] * 4
+    vmem_limit = min(
+        int((416 + 53) * tile_bytes * 2.2) + (8 << 20), 100 << 20
+    )
     x, s, z, kkt = pl.pallas_call(
         kernel4,
         grid=grid,
         in_specs=[bs(N * N), bs(N), bs(MI * N), bs(MI)],
         out_specs=(bs(N), bs(MI), bs(MI), bs(1)),
         out_shape=(
-            jax.ShapeDtypeStruct((nb, N) + TILE, jnp.float32),
-            jax.ShapeDtypeStruct((nb, MI) + TILE, jnp.float32),
-            jax.ShapeDtypeStruct((nb, MI) + TILE, jnp.float32),
-            jax.ShapeDtypeStruct((nb, 1) + TILE, jnp.float32),
+            jax.ShapeDtypeStruct((nb, N) + tile, jnp.float32),
+            jax.ShapeDtypeStruct((nb, MI) + tile, jnp.float32),
+            jax.ShapeDtypeStruct((nb, MI) + tile, jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1) + tile, jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(vmem_limit, 32 << 20)
         ),
         interpret=interpret,
     )(Gp, gp, Dp, dp)
@@ -508,14 +572,99 @@ def solve_fd_qp(G, g, D, d, iters: int = 15, interpret: bool = False):
     )
 
 
+class _ListRef:
+    """Write-collecting stand-in for a Pallas output Ref — lets the
+    kernel body run as plain traced JAX ops (see solve_fd_qp_emulated)."""
+
+    def __init__(self, n):
+        self.vals = [None] * n
+
+    def __setitem__(self, idx, val):
+        self.vals[idx] = val
+
+
+def solve_fd_qp_emulated(G, g, D, d, iters: int = 15, tile_rows: int = 8):
+    """Run the EXACT Pallas kernel trace as ordinary JAX ops — the same
+    unrolled IPM + polish math on the same (tile_rows, 128) instance
+    tiles — under ``jax.disable_jit()`` (pure eager). This is the
+    kernel's CPU test vehicle: a bug introduced in the kernel body fails
+    here without TPU hardware.
+
+    Why eager: the kernel body is a ~40k-op unrolled graph (by design —
+    on TPU Mosaic consumes it directly); both the Pallas interpreter and
+    XLA:CPU take many minutes to build it, while eager dispatch runs it
+    in ~20 s. Host-level only — do NOT call inside a jit trace.
+
+    Same signature/returns as :func:`solve_fd_qp`.
+    """
+    with jax.disable_jit():
+        return _solve_fd_qp_emulated_impl(G, g, D, d, iters, tile_rows)
+
+
+def _solve_fd_qp_emulated_impl(G, g, D, d, iters, tile_rows):
+    B = G.shape[0]
+    while tile_rows > 8 and (tile_rows // 2) * 128 >= B:
+        tile_rows //= 2
+    tile = (tile_rows, 128)
+    tile_b = tile_rows * 128
+    nb = -(-B // tile_b)
+    pad = nb * tile_b - B
+
+    def prep(a, e):
+        a = a.reshape(B, e).astype(jnp.float32)
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (pad, e))], axis=0
+            )
+        return _pack(a, nb, tile)
+
+    Gp = prep(G, N * N)
+    gp = prep(g, N)
+    Dp = prep(D, MI * N)
+    dp = prep(d, MI)
+
+    xs, ss, zs, kkts = [], [], [], []
+    for i in range(nb):
+        x_ref, s_ref = _ListRef(N), _ListRef(MI)
+        z_ref, kkt_ref = _ListRef(MI), _ListRef(1)
+        _ipm_kernel(
+            iters, Gp[i], gp[i], Dp[i], dp[i],
+            x_ref, s_ref, z_ref, kkt_ref,
+        )
+        xs.append(jnp.stack(x_ref.vals))
+        ss.append(jnp.stack(s_ref.vals))
+        zs.append(jnp.stack(z_ref.vals))
+        kkts.append(jnp.stack(kkt_ref.vals))
+    return (
+        _unpack(jnp.stack(xs))[:B],
+        _unpack(jnp.stack(ss))[:B],
+        _unpack(jnp.stack(zs))[:B],
+        _unpack(jnp.stack(kkts))[:B, 0],
+    )
+
+
 def solve_weighted_ls_fd_qp(
-    A, S, b, W, D, d, iters: int = 15, interpret: bool = False
+    A, S, b, W, D, d,
+    iters: int = 15,
+    interpret: bool = False,
+    tile_rows: int | None = None,
+    emulate: bool = False,
 ):
     """Batched OOQP formulation (G = 2AᵀSA + diag(W), g = −2AᵀSb) on the
     Pallas backend — the batched twin of ``ops.qp.solve_weighted_ls_qp``
-    for the inequality-only force-distribution problem."""
+    for the inequality-only force-distribution problem.
+
+    ``emulate=True`` runs the kernel trace as plain JAX ops
+    (:func:`solve_fd_qp_emulated`) — CPU test coverage of the kernel."""
     with jax.default_matmul_precision("highest"):
         SA = A * S[..., :, None]
         G = 2.0 * jnp.einsum("bij,bik->bjk", A, SA) + jax.vmap(jnp.diag)(W)
         g = -2.0 * jnp.einsum("bij,bi->bj", SA, b)
-    return solve_fd_qp(G, g, D, d, iters=iters, interpret=interpret)
+    if emulate:
+        return solve_fd_qp_emulated(
+            G, g, D, d, iters=iters,
+            tile_rows=8 if tile_rows is None else tile_rows,
+        )
+    return solve_fd_qp(
+        G, g, D, d, iters=iters, interpret=interpret, tile_rows=tile_rows
+    )

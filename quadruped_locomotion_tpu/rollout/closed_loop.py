@@ -25,8 +25,14 @@ from ..control.contact_fsm import (
     fsm_step,
     init_fsm_state,
 )
-from ..control.locomotion import ControllerParams, locomotion_update
+from ..control.force_distribution import solve_fd_qp_batched
+from ..control.locomotion import (
+    ControllerParams,
+    locomotion_finish,
+    locomotion_prepare,
+)
 from ..control.swing import joint_pd_gravity_torques
+from ..ops import qp as qp_ops
 from ..gait import gait_generator as gg
 from ..gait.phase import GaitParams
 from ..model.kinematics import foot_velocities, forward_kinematics
@@ -108,6 +114,8 @@ def planner_tick(
     telemetry_fn=None,
     plant: str = "articulated",
     friction_mu: float | None = None,
+    batched: bool = False,
+    qp_backend: str = "xla",
 ):
     """One 100 Hz planner tick + 4 control/physics substeps.
 
@@ -115,17 +123,29 @@ def planner_tick(
     static) collects per-control-substep extras — e.g. the golden-trace
     tests record the controller state + QP solution of every 400 Hz tick
     to re-solve offline against a float64 oracle.
+
+    ``batched=True`` (trace-time static) runs the SAME tick over a
+    leading scenario axis on every input — but instead of vmapping the
+    whole tick (which would vmap the QP solver per scenario), the
+    per-scenario stages are vmapped around ONE batched QP dispatch per
+    control substep (:func:`solve_fd_qp_batched`), so ``qp_backend=
+    "pallas"``/"auto" sends the entire batch to the lane-tiled TPU
+    kernel in a single call — the QP inside the hot loop, matching the
+    role of ``ContactForceDistribution.cpp:490``.
     """
-    gait2, support, (pos_w, vel_w, acc_w), target, normals = gg.advance(
-        model,
+    vv = jax.vmap if batched else (lambda f: f)
+
+    gait2, support, (pos_w, vel_w, acc_w), target, normals = vv(
+        lambda gait, robot, feet, lin, yaw: gg.advance(
+            model, gait, robot, feet, gait_params, lin, yaw, PLANNER_DT,
+            terrain=terrain,
+        )
+    )(
         ls.gait,
         ls.sim.robot,
         ls.sim.feet_world,
-        gait_params,
         command.linear_velocity,
         command.yaw_rate,
-        PLANNER_DT,
-        terrain=terrain,
     )
 
     # Normalized gait phases for the FSM thresholds (the reference's
@@ -135,14 +155,14 @@ def planner_tick(
         gait_params.t_stance, 1e-6
     )
 
-    def ctrl(carry, _):
+    def pre_qp(sim, fsm_state, support, sw_norm, st_norm, pos_w, vel_w,
+               acc_w, target, normals):
         # Per-leg contact FSM with memory: reconcile the gait's desired
         # support with measured contact every control tick (≙
         # ros_balance_controller :233-380, :1086-1140), then apply
         # late-TD / bump / freeze reflexes.
-        sim, fsm_state = carry
         if terrain is None:
-            gz = 0.0
+            gz = jnp.zeros(4, sim.feet_world.dtype)
         else:
             gz = jax.vmap(terrain.height_at)(sim.feet_world[:, :2])
         contact = simlib.contact_sensor(sim, ground_height=gz)
@@ -158,10 +178,13 @@ def planner_tick(
         state = sim.robot.replace(
             support=fsm.support, surface_normal=normals
         )
-        tau, diag = locomotion_update(
-            model, params, state, target, pos_r, vel_r, acc_r,
-            qp_iters=qp_iters,
+        ctx = locomotion_prepare(
+            model, params, state, target, pos_r, vel_r, acc_r
         )
+        return fsm_state2, fsm, state, ctx, gz
+
+    def post_qp(sim, state, fsm, ctx, sol, gz):
+        tau, diag = locomotion_finish(model, params, state, ctx, sol)
         # Lost-contact freeze reflex (:341-358): hold the joint posture
         # stored at loss instead of tracking a swing reference.
         tau_freeze = joint_pd_gravity_torques(
@@ -178,18 +201,35 @@ def planner_tick(
             ground_height=gz, **plant_kwargs,
         )
         extras = () if telemetry_fn is None else telemetry_fn(state, tau, diag)
-        return (sim2, fsm_state2), (
-            diag.distribution.qp_solution.kkt_error,
-            extras,
+        return sim2, diag.distribution.qp_solution.kkt_error, extras
+
+    def ctrl(carry, _):
+        sim, fsm_state = carry
+        fsm_state2, fsm, state, ctx, gz = vv(pre_qp)(
+            sim, fsm_state, support, sw_norm, st_norm,
+            pos_w, vel_w, acc_w, target, normals,
         )
+        if batched:
+            sol = solve_fd_qp_batched(
+                ctx.A, ctx.b, ctx.S, ctx.W, ctx.D, ctx.d,
+                iters=qp_iters, backend=qp_backend,
+            )
+        else:
+            sol = qp_ops.solve_weighted_ls_qp(
+                ctx.A, ctx.S, ctx.b, ctx.W, ctx.D, ctx.d, iters=qp_iters
+            )
+        sim2, kkt, extras = vv(post_qp)(sim, state, fsm, ctx, sol, gz)
+        return (sim2, fsm_state2), (kkt, extras)
 
     (sim_final, fsm_final), (kkts, extras) = jax.lax.scan(
         ctrl, (ls.sim, ls.fsm), None, length=CONTROL_SUBSTEPS
     )
     out = LocomotionState(sim=sim_final, gait=gait2, fsm=fsm_final)
+    # kkts: (substeps,) or (substeps, B) — reduce over substeps only.
+    kkt_out = jnp.max(kkts, axis=0)
     if telemetry_fn is None:
-        return out, jnp.max(kkts)
-    return out, (jnp.max(kkts), extras)
+        return out, kkt_out
+    return out, (kkt_out, extras)
 
 
 def rollout(
@@ -204,14 +244,21 @@ def rollout(
     telemetry_fn=None,
     plant: str = "articulated",
     friction_mu: float | None = None,
+    batched: bool = False,
+    qp_backend: str = "xla",
 ):
-    """Full closed-loop rollout. Returns (final state, per-tick telemetry)."""
+    """Full closed-loop rollout. Returns (final state, per-tick telemetry).
+
+    ``batched=True``: every input carries a leading scenario axis and
+    each control substep dispatches ONE batched QP solve (see
+    :func:`planner_tick`); telemetry leaves are then (T, B, ...).
+    """
 
     def tick(ls, _):
         ls2, tick_out = planner_tick(
             model, params, gait_params, ls, command, qp_iters=qp_iters,
             terrain=terrain, telemetry_fn=telemetry_fn, plant=plant,
-            friction_mu=friction_mu,
+            friction_mu=friction_mu, batched=batched, qp_backend=qp_backend,
         )
         kkt = tick_out if telemetry_fn is None else tick_out[0]
         telemetry = {

@@ -382,8 +382,14 @@ class FreeGaitActionServer:
         return None
 
     def _finalize_goals(self, preempted: bool = False) -> None:
+        # Decide every goal's fate against ONE consistent snapshot first,
+        # then fire the callbacks: a result_cb may re-enter submit_rows/
+        # _compact (the continuous-action continuation pattern), which
+        # shifts first_row/step_index mid-loop and would falsely finalize
+        # in-flight goals against stale row numbers.
         cur = self.current_row
         done = bool(self.state.exec.done)
+        fire: list[_Goal] = []
         for g in self._goals:
             if g.done:
                 continue
@@ -402,7 +408,9 @@ class FreeGaitActionServer:
                 )
                 g.done = True
             if g.done and g.result_cb is not None:
-                g.result_cb(g.result)
+                fire.append(g)
+        for g in fire:
+            g.result_cb(g.result)
 
     def _build_feedback(self) -> msg.ExecuteStepsFeedback | None:
         """≙ publishFeedback (``FreeGaitActionServer.cpp:148-187``)."""
