@@ -147,7 +147,7 @@ def scaling_main(batch: int):
 
     dist.initialize_multihost()
     problem = build_batch(batch)
-    res = dist.measure_scaling(problem, iters=15, reps=10)
+    res = dist.measure_scaling(problem, iters=15, reps=10, backend="auto")
     for n, r in sorted(res.items()):
         print(
             f"devices={n} solves/s={r['solves_per_s']:.1f} "
@@ -261,12 +261,20 @@ def latency_main(n_ticks: int = 400):
     )
 
 
-def _sweep_measure(batch: int, ticks: int, qp_backend: str, reps: int = 3):
+def _sweep_measure(
+    batch: int, ticks: int, qp_backend: str, reps: int = 3, chunk: int = 10
+):
     """Time the FULL closed loop (gait engine + executor outputs +
     contact FSM + VMC + QP + torque map + plant) over `batch` command
     scenarios with the batched in-loop QP dispatch (`qp_backend` selects
     the solver that runs INSIDE each 400 Hz control substep — the
-    product hot path, ≙ ContactForceDistribution.cpp:490)."""
+    product hot path, ≙ ContactForceDistribution.cpp:490).
+
+    Dispatched in ``chunk``-tick segments: a single device execution of
+    100 ticks × 4096 scenarios runs ~90 s, past the sandbox tunnel's
+    RPC deadline; chunking keeps each dispatch bounded with the state
+    resident on-device between segments (host sync only per segment, as
+    in the latency bench)."""
     from quadruped_locomotion_tpu.control.locomotion import ControllerParams
     from quadruped_locomotion_tpu.gait.phase import GaitParams
     from quadruped_locomotion_tpu.rollout import closed_loop as cl
@@ -295,22 +303,30 @@ def _sweep_measure(batch: int, ticks: int, qp_backend: str, reps: int = 3):
         yaw_rate=jnp.asarray(rng.uniform(-0.3, 0.3, batch), jnp.float32),
     )
 
+    n_chunks = max(ticks // chunk, 1)
+
     @jax.jit
     def sweep(ls):
         return cl.rollout(
-            model, params, gp, ls, cmds, ticks,
+            model, params, gp, ls, cmds, chunk,
             batched=True, qp_backend=qp_backend,
         )
 
-    out_b, tel = sweep(ls_b)
+    def run(ls):
+        tel = None
+        for _ in range(n_chunks):
+            ls, tel = sweep(ls)
+        return ls, tel
+
+    out_b, tel = run(ls_b)
     jax.block_until_ready(out_b)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out_b, tel = sweep(ls_b)
+        out_b, tel = run(out_b)
     jax.block_until_ready(out_b)
     dt_wall = (time.perf_counter() - t0) / reps
 
-    sim_seconds = batch * ticks * 0.01
+    sim_seconds = batch * n_chunks * chunk * 0.01
     rt_factor = sim_seconds / dt_wall
     base = np.asarray(tel["base_position"])  # (T, B, 3)
     finite = bool(np.isfinite(base).all())
@@ -324,7 +340,7 @@ def _sweep_measure(batch: int, ticks: int, qp_backend: str, reps: int = 3):
         "p99_kkt": float(np.percentile(kkt, 99)),
         "backend": qp_backend,
         "batch": batch,
-        "ticks": ticks,
+        "ticks": n_chunks * chunk,
     }
 
 
@@ -345,11 +361,20 @@ def sweep_main(batch: int = 1024, ticks: int = 100):
     res = _sweep_measure(batch, ticks, backend)
     speedup = None
     if backend == "pallas":
-        res_xla = _sweep_measure(batch, ticks, "xla")
-        speedup = res_xla["wall_s"] / res["wall_s"]
+        # XLA-backend comparison. The vmapped XLA IPM inside the loop is
+        # impractical at the full batch (its batch-1024 compile+run did
+        # not complete in 10 min on this chip — the exact "terrible
+        # occupancy" the kernel exists to fix), so measure it at a small
+        # batch and compare per-scenario throughput (labeled as scaled).
+        xb = min(batch, 256)
+        res_xla = _sweep_measure(xb, min(ticks, 10), "xla", reps=1)
+        per_scn_pallas = res["rt_factor"] / 1.0  # scenarios·sim-s/wall-s
+        per_scn_xla = res_xla["rt_factor"]
+        speedup = per_scn_pallas / max(per_scn_xla, 1e-9)
         print(
-            f"in-loop backend speedup: pallas {res['wall_s']:.3f}s vs "
-            f"xla {res_xla['wall_s']:.3f}s → {speedup:.2f}x",
+            f"in-loop backend speedup (pallas@{batch} vs xla@{xb}, "
+            f"per-scenario-throughput ratio): {speedup:.2f}x "
+            f"(xla rt_factor={per_scn_xla:.1f})",
             file=sys.stderr,
         )
     print(

@@ -261,6 +261,42 @@ def cmd_pace(args) -> int:
     return _gait(args, pace=True)
 
 
+def cmd_edit(args) -> int:
+    """Interactive foothold/knot editing over a live action server —
+    the headless free_gait_marker (≙ MarkerManager.cpp:87-300). Reads
+    edit commands from stdin (or ``--script FILE``); see
+    :func:`..api.marker.repl` for the command set."""
+    from ..runtime.action_server import FreeGaitActionServer
+    from ..types import RobotModel
+    from .marker import MarkerSession, repl
+
+    model = RobotModel.simpledog()
+    srv = FreeGaitActionServer(model, capacity=16)
+    session = MarkerSession(srv, height=args.height)
+    print(session.describe())
+    if args.script:
+        with open(args.script) as f:
+            lines = f.readlines()
+    else:
+        lines = sys.stdin
+    repl(session, lines)
+    fb = srv.last_feedback
+    print(
+        json.dumps(
+            {
+                "goals_sent": session.sent_goals,
+                "queue_size": srv.queue_size,
+                "done": bool(srv.state.exec.done),
+                "final_feet": np.asarray(
+                    srv.state.sim.feet_world
+                ).tolist(),
+                "last_status": None if fb is None else fb.status,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_update(args) -> int:
     reg = _registry(args)
     reg.update()
@@ -313,6 +349,14 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--seconds", type=float, default=4.0)
         sp.add_argument("--plot", default=None, help="save PNG plot")
         sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("edit")
+    sp.add_argument("--height", type=float, default=0.4)
+    sp.add_argument(
+        "--script", default=None,
+        help="read edit commands from a file instead of stdin",
+    )
+    sp.set_defaults(fn=cmd_edit)
 
     sp = sub.add_parser("update")
     sp.set_defaults(fn=cmd_update)

@@ -262,41 +262,130 @@ def _solve_qp_impl(G, g, D, d, C, c, iters, tol) -> QpSolution:
 
     # Active-set polish (≙ OSQP solution polishing): solve the equality-
     # constrained QP on the apparent active set through the well-
-    # conditioned chol(G_reg) with iterative refinement — recovers
-    # f32-machine-precision KKT wherever the IPM identified the active
+    # conditioned chol(G_reg) with compensated iterative refinement —
+    # recovers (beyond-)f32 KKT wherever the IPM identified the active
     # set, which a fixed-iteration f32 endgame cannot do on its own.
-    x_p, z_p, y_p = _polish(
-        G, g, D, d, chol0, delta, x, z, C=C, c=c, rounds=4
+    #
+    # Two candidate active sets (degenerate weight-transfer instants
+    # make z>s and small-slack disagree), and a floor-aware selection:
+    # the f32-evaluated KKT saturates at a noise floor ~1e-6·scale, so
+    # "k_pol < kkt" alone is a coin flip between a polished point that
+    # is exact to ~1e-3 N and an IPM point sitting O(1 N) away along the
+    # W=1e-4 flat valley (both measure ≈ the floor). Prefer the polished
+    # point whenever its measured KKT reaches the floor.
+    kkt_floor = jnp.asarray(
+        1e-12 if dtype == jnp.float64 else 1e-6, dtype
     )
-    k_pol = _honest_kkt(
-        G, g, D, d, x_p, z_p, scale_g, scale_d,
-        C=C, c=c, y=y_p if has_eq else None,
-    )
-    take_pol = k_pol < kkt  # False on non-finite k_pol
-    x = jnp.where(take_pol, x_p, x)
-    z = jnp.where(take_pol, z_p, z)
-    s = jnp.where(take_pol, jnp.maximum(D @ x_p - d, 0.0), s)
-    if has_eq:
-        y = jnp.where(take_pol, y_p, y)
-    kkt = jnp.where(take_pol, k_pol, kkt)
+    slack_ipm = D @ x - d
+    act_slack = (
+        slack_ipm < 1e-5 * (1.0 + jnp.abs(d))
+    ).astype(dtype)
+    for act in (None, act_slack):
+        x_p, z_p, y_p = _polish(
+            G, g, D, d, chol0, delta, x, z, C=C, c=c, rounds=4,
+            act=act,
+        )
+        k_pol = _honest_kkt(
+            G, g, D, d, x_p, z_p, scale_g, scale_d,
+            C=C, c=c, y=y_p if has_eq else None,
+        )
+        take_pol = k_pol < jnp.maximum(kkt, kkt_floor)
+        x = jnp.where(take_pol, x_p, x)
+        z = jnp.where(take_pol, z_p, z)
+        s = jnp.where(take_pol, jnp.maximum(D @ x_p - d, 0.0), s)
+        if has_eq:
+            y = jnp.where(take_pol, y_p, y)
+        kkt = jnp.where(take_pol, k_pol, kkt)
     return QpSolution(x=x, z=z, y=y, s=s, iterations=it_count, kkt_error=kkt)
 
 
+def _two_sum(a, b):
+    """Knuth two-sum: s fl(a+b) and the EXACT rounding error err."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _split_f32(a):
+    """Dekker split: a = hi + lo with 12-bit hi mantissa (f32)."""
+    c = a * 4097.0  # 2^12 + 1
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _prod_err(a, b):
+    """Error-free product: p = fl(a·b), e exact with p + e = a·b."""
+    p = a * b
+    ha, la = _split_f32(a)
+    hb, lb = _split_f32(b)
+    e = ((ha * hb - p) + ha * lb + la * hb) + lb * la
+    return p, e
+
+
+def _comp_sum(pairs):
+    """Compensated sum of (value, error) pairs → accurately-rounded total.
+
+    Neumaier-style: two-sum the values, accumulate every rounding error
+    plus the product errors in a compensation term, add once at the end.
+    Effective ~f64 accuracy from pure f32 ops — works on TPU, where real
+    float64 is unavailable inside the f32 pipeline.
+    """
+    s, comp = pairs[0]
+    for p, e in pairs[1:]:
+        s, err = _two_sum(s, p)
+        comp = comp + (err + e)
+    return s + comp
+
+
+def _stationarity_comp(g, Ew, lam, G, xp):
+    """Compensated stationarity residual r1 = −g + Ewᵀλ − G·xp.
+
+    The polish refinement is limited by the accuracy of this residual:
+    its terms reach |G||x| ~ 1e6 at the reference gains, so a plain f32
+    evaluation carries O(0.1 N) noise — which the W = 1e-4 regularizer's
+    flat valley amplifies into O(1 N) solution error (the golden-trace
+    max-gate blocker). Error-free transforms recover the residual to
+    ~f32 eps of its own (small) magnitude, so the refinement fixed point
+    lands within ~1e-3 N of the float64 oracle.
+    """
+    m = Ew.shape[-2]
+    n = G.shape[-1]
+    zero = jnp.zeros_like(g)
+    pairs = [(-g, zero)]
+    for k in range(m):
+        pairs.append(_prod_err(Ew[k], lam[k]))
+    for j in range(n):
+        pairs.append(_prod_err(-G[:, j], xp[j]))
+    return _comp_sum(pairs)
+
+
+def _eq_residual_comp(e, E, xp, w):
+    """Compensated r2 = w ⊙ (e − E·xp)."""
+    n = E.shape[-1]
+    pairs = [(e, jnp.zeros_like(e))]
+    for j in range(n):
+        pairs.append(_prod_err(-E[:, j], xp[j]))
+    return w * _comp_sum(pairs)
+
+
 def _polish(G, g, D, d, chol_g, delta, x_ipm, z_ipm, C=None, c=None,
-            rounds: int = 4):
+            rounds: int = 4, act=None):
     """Equality-constrained re-solve on the active set of (x_ipm, z_ipm).
 
-    Active rows (z > s heuristic) of D — plus all equality rows — become
-    equalities; the KKT system is solved via the Schur complement on the
-    already-factored G_reg with ``rounds`` iterative-refinement sweeps
-    (each contracts the f32 error by ~cond·eps, so 3-4 rounds reach the
-    f32 floor even at the reference's W=1e-4 regularizer conditioning).
+    Active rows (z > s heuristic by default; pass ``act`` to override)
+    of D — plus all equality rows — become equalities; the KKT system is
+    solved via the Schur complement on the already-factored G_reg with
+    ``rounds`` compensated iterative-refinement sweeps (each contracts
+    the f32 error by ~cond·eps, so 3-4 rounds reach the compensated
+    floor even at the reference's W=1e-4 regularizer conditioning).
     Masked fixed-shape: inactive rows carry identity diagonal + zero rhs.
     """
     dtype = G.dtype
     mi = D.shape[-2]
     slack = D @ x_ipm - d
-    act = (z_ipm > slack).astype(dtype)
+    if act is None:
+        act = (z_ipm > slack).astype(dtype)
     if C is not None:
         E = jnp.concatenate([C, D], axis=0)
         e = jnp.concatenate([c, d], axis=0)
@@ -319,8 +408,12 @@ def _polish(G, g, D, d, chol_g, delta, x_ipm, z_ipm, C=None, c=None,
     xp = gsolve(-g)
     lam = jnp.zeros((m,), dtype)
     for _ in range(rounds):
-        r1 = -g + Ew.T @ lam - G @ xp
-        r2 = w * (e - E @ xp)
+        # Compensated residuals: the refinement contraction is limited by
+        # residual accuracy, not by the f32 triangular solves (see
+        # _stationarity_comp). Costs ~500 extra elementwise ops per
+        # round on 12/20-vectors — noise next to the IPM itself.
+        r1 = _stationarity_comp(g, Ew, lam, G, xp)
+        r2 = _eq_residual_comp(e, E, xp, w)
         t = gsolve(r1)
         dlam = _chol_solve(cholK, r2 - Ew @ t)
         dx = gsolve(r1 + Ew.T @ dlam)

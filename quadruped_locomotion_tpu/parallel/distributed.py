@@ -101,7 +101,9 @@ def _batch_axes(mesh: Mesh):
     return P(mesh.axis_names)
 
 
-def make_sharded_qp_sweep(mesh: Mesh, iters: int = 15):
+def make_sharded_qp_sweep(
+    mesh: Mesh, iters: int = 15, backend: str = "xla"
+):
     """Jitted, mesh-sharded force-distribution QP sweep:
     (A, b, S, W, D, d) batched on the leading axis → (solutions,
     global max KKT, global mean wrench error).
@@ -109,17 +111,21 @@ def make_sharded_qp_sweep(mesh: Mesh, iters: int = 15):
     The reductions are the BASELINE's "per-scenario QP KKT blocks
     reduced via ICI collectives": ``pmax``/``psum`` over the flattened
     mesh axes (ICI within a host, DCN across hosts).
+
+    ``backend``: per-shard solver — "xla" (default; runs anywhere),
+    "pallas" (the lane-tiled TPU kernel inside shard_map — each device
+    solves its whole shard in one kernel call), or "auto".
     """
-    from ..ops import qp
+    from ..control.force_distribution import solve_fd_qp_batched
     from jax import shard_map
 
     axes = mesh.axis_names
     spec = _batch_axes(mesh)
 
     def local(A, b, S, W, D, d):
-        sol = jax.vmap(
-            lambda *args: qp.solve_weighted_ls_qp(*args, iters=iters)
-        )(A, S, b, W, D, d)
+        sol = solve_fd_qp_batched(
+            A, b, S, W, D, d, iters=iters, backend=backend
+        )
         realized = jnp.einsum("bij,bj->bi", A, sol.x)
         err = jnp.sum(jnp.max(jnp.abs(realized - b), axis=-1))
         n = jax.lax.psum(jnp.float32(A.shape[0]), axes)
@@ -145,8 +151,8 @@ def shard_problem(mesh: Mesh, tree):
     )
 
 
-def _time_sweep(mesh, problem, iters, reps):
-    sweep = make_sharded_qp_sweep(mesh, iters=iters)
+def _time_sweep(mesh, problem, iters, reps, backend="xla"):
+    sweep = make_sharded_qp_sweep(mesh, iters=iters, backend=backend)
     problem = shard_problem(mesh, problem)
     sol, kkt, err = sweep(*problem)  # compile + warm
     jax.block_until_ready(sol.x)
@@ -204,6 +210,7 @@ def measure_scaling(
     iters: int = 15,
     reps: int = 10,
     device_counts: list[int] | None = None,
+    backend: str = "xla",
 ) -> dict:
     """Weak-scaling measurement of the sharded QP sweep.
 
@@ -225,7 +232,7 @@ def measure_scaling(
         prob_n = jax.tree_util.tree_map(
             lambda x: jnp.concatenate([x] * n, axis=0), problem
         )
-        rate, kkt, err = _time_sweep(mesh, prob_n, iters, reps)
+        rate, kkt, err = _time_sweep(mesh, prob_n, iters, reps, backend)
         if rate1 is None:
             rate1 = rate / n  # n == device_counts[0]
         results[n] = {

@@ -43,6 +43,26 @@ import numpy as np
 BUS_PREFIX = "/qlt_rtbench"
 
 
+def contention_factor(n_bench_procs: int = 2) -> float:
+    """How oversubscribed the benchmark's CPUs are RIGHT NOW.
+
+    The realtime loop needs ``n_bench_procs`` runnable processes (bus +
+    controller). Returns ≥ 1.0: the expected slowdown from sharing
+    ``os.cpu_count()`` cores with the already-running load (1-minute
+    loadavg). 1.0 = both processes get a core to themselves; 2.0 = each
+    expects half a core. Used to scale the timing gates so the suite
+    measures the RUNTIME, not the CI box's scheduler (the reference's
+    400 Hz figure assumes a dedicated RT host,
+    ``balance_controller_manager.cpp:47-58``).
+    """
+    ncpu = os.cpu_count() or 1
+    try:
+        load = os.getloadavg()[0]
+    except OSError:  # pragma: no cover
+        load = 0.0
+    return max(1.0, (load + n_bench_procs) / ncpu)
+
+
 def bus_main(prefix: str, rate_hz: float, max_ticks: int, stats_q) -> None:
     """The robot bus process (spawn target — top-level importable)."""
     import sys
