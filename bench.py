@@ -169,8 +169,20 @@ def scaling_main(batch: int):
 
 
 def _latency_measure(n_ticks: int = 400):
-    """Device-resident closed-loop 400 Hz control-tick latency on the
-    articulated-plant default; returns (p50_ms, p99_ms, disp_p50_ms)."""
+    """Device-resident 400 Hz control-tick latency.
+
+    Returns (ctrl_p50, ctrl_p99, full_p50, full_p99, disp_p50), all ms
+    per 400 Hz control tick:
+
+    * ctrl_* — CONTROLLER-ONLY (gait + FSM + VMC + QP + torque map, no
+      physics): the number comparable to the reference's 2.5 ms budget,
+      which covers read→controller→write only — Gazebo/EtherCAT physics
+      runs outside it (``balance_controller_manager.cpp:66-95``).
+    * full_* — controller + on-device articulated plant (the extra work
+      a self-contained simulation pays; no reference counterpart).
+    * disp_p50 — one planner tick per jit dispatch incl. tunnel RTT
+      (context only).
+    """
     from quadruped_locomotion_tpu.control.locomotion import ControllerParams
     from quadruped_locomotion_tpu.gait.phase import GaitParams
     from quadruped_locomotion_tpu.rollout import closed_loop as cl
@@ -179,25 +191,48 @@ def _latency_measure(n_ticks: int = 400):
     model = RobotModel.simpledog()
     params = ControllerParams.defaults()
     gp = GaitParams.trot_defaults()
-    ls = cl.init_locomotion(model, gp)
+    ls0 = cl.init_locomotion(model, gp)
     cmd = cl.Command(
         linear_velocity=jnp.array([0.2, 0.0, 0.0]), yaw_rate=jnp.asarray(0.0)
     )
     chunk = 25  # planner ticks per dispatch = 100 control ticks
-    roll = jax.jit(
-        lambda s: cl.rollout(model, params, gp, s, cmd, chunk)[0]
+
+    # The deployment path on TPU is the batched rollout at B=1 with the
+    # Pallas QP backend — measured 4.6x faster per controller tick than
+    # the unbatched XLA-solver path (whose candidate-chain polish is an
+    # op-soup at B=1; the kernel runs it as lane math).
+    backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    ls_b = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (1,) + x.shape), ls0
     )
-    ls = roll(ls)
-    jax.block_until_ready(ls)
-    n_chunks = max(n_ticks // chunk, 8)
-    t_chunks = np.empty(n_chunks)
-    for i in range(n_chunks):
-        t0 = time.perf_counter()
+    cmd_b = cl.Command(
+        linear_velocity=jnp.broadcast_to(cmd.linear_velocity, (1, 3)),
+        yaw_rate=jnp.broadcast_to(cmd.yaw_rate, (1,)),
+    )
+
+    def timed(plant, ls):
+        roll = jax.jit(
+            lambda s: cl.rollout(
+                model, params, gp, s, cmd_b, chunk, plant=plant,
+                batched=True, qp_backend=backend,
+            )[0]
+        )
         ls = roll(ls)
         jax.block_until_ready(ls)
-        t_chunks[i] = time.perf_counter() - t0
-    per_ctrl_dev = t_chunks * 1e3 / (chunk * cl.CONTROL_SUBSTEPS)
-    p50, p99 = np.percentile(per_ctrl_dev, [50, 99])
+        n_chunks = max(n_ticks // chunk, 8)
+        t_chunks = np.empty(n_chunks)
+        for i in range(n_chunks):
+            t0 = time.perf_counter()
+            ls = roll(ls)
+            jax.block_until_ready(ls)
+            t_chunks[i] = time.perf_counter() - t0
+        per_ctrl = t_chunks * 1e3 / (chunk * cl.CONTROL_SUBSTEPS)
+        p50, p99 = np.percentile(per_ctrl, [50, 99])
+        return float(p50), float(p99), ls
+
+    ctrl_p50, ctrl_p99, _ = timed("none", ls_b)
+    full_p50, full_p99, _ = timed("articulated", ls_b)
+    ls = ls0
 
     tick = jax.jit(
         lambda s: cl.planner_tick(model, params, gp, s, cmd, qp_iters=15)
@@ -211,7 +246,7 @@ def _latency_measure(n_ticks: int = 400):
         jax.block_until_ready(kkt)
         t_disp[i] = time.perf_counter() - t0
     disp_p50 = float(np.percentile(t_disp, 50)) * 1e3 / cl.CONTROL_SUBSTEPS
-    return float(p50), float(p99), disp_p50
+    return ctrl_p50, ctrl_p99, full_p50, full_p99, disp_p50
 
 
 def latency_main(n_ticks: int = 400):
@@ -235,26 +270,27 @@ def latency_main(n_ticks: int = 400):
         reached through a network tunnel, so the RTT dominates and the
         number mostly measures the tunnel."""
     budget_ms = 2.5  # 400 Hz reference loop (BASELINE.md)
-    p50, p99, disp_p50 = _latency_measure(n_ticks)
-    n_chunks = max(n_ticks // 25, 8)
-    chunk = 25
+    c50, c99, f50, f99, disp_p50 = _latency_measure(n_ticks)
     print(
-        f"device-resident per-400Hz-control-tick p50={p50:.4f} ms "
-        f"p99={p99:.4f} ms over {n_chunks}x{chunk} planner ticks "
-        f"(budget {budget_ms} ms); per-dispatch (incl. tunnel RTT) "
-        f"p50={disp_p50:.3f} ms/control-tick",
+        f"device-resident per-400Hz-control-tick: controller-only "
+        f"p50={c50:.4f} p99={c99:.4f} ms (reference budget {budget_ms} "
+        f"ms covers this scope); controller+articulated-plant "
+        f"p50={f50:.4f} p99={f99:.4f} ms; per-dispatch (incl. tunnel "
+        f"RTT) p50={disp_p50:.3f} ms/control-tick",
         file=sys.stderr,
     )
     print(
         json.dumps(
             {
                 "metric": "closed-loop 400 Hz control-tick latency "
-                "(device-resident scan, throughput-amortized, p99)",
-                "value": round(p99, 4),
+                "(controller-only, device-resident scan, p99)",
+                "value": round(c99, 4),
                 "unit": "ms",
                 # >1 = beating the 2.5 ms budget
-                "vs_baseline": round(budget_ms / p99, 3),
-                "p50_ms": round(p50, 4),
+                "vs_baseline": round(budget_ms / c99, 3),
+                "p50_ms": round(c50, 4),
+                "with_plant_p50_ms": round(f50, 4),
+                "with_plant_p99_ms": round(f99, 4),
                 "per_dispatch_p50_ms": round(disp_p50, 4),
             }
         )
@@ -304,6 +340,10 @@ def _sweep_measure(
     )
 
     n_chunks = max(ticks // chunk, 1)
+    print(
+        f"sweep[{qp_backend}] batch={batch} compiling...",
+        file=sys.stderr, flush=True,
+    )
 
     @jax.jit
     def sweep(ls):
@@ -360,13 +400,13 @@ def sweep_main(batch: int = 1024, ticks: int = 100):
     backend = "pallas" if on_tpu and batch >= 1024 else "xla"
     res = _sweep_measure(batch, ticks, backend)
     speedup = None
-    if backend == "pallas":
-        # XLA-backend comparison. The vmapped XLA IPM inside the loop is
-        # impractical at the full batch (its batch-1024 compile+run did
-        # not complete in 10 min on this chip — the exact "terrible
-        # occupancy" the kernel exists to fix), so measure it at a small
-        # batch and compare per-scenario throughput (labeled as scaled).
-        xb = min(batch, 256)
+    if backend == "pallas" and "--compare-xla" in sys.argv[1:]:
+        # Opt-in XLA-backend comparison: the vmapped XLA IPM inside the
+        # loop is impractical at production batch (batch-1024
+        # compile+run did not complete in 10 min on this chip — the
+        # exact "terrible occupancy" the Pallas kernel exists to fix),
+        # so measure a small batch and compare per-scenario throughput.
+        xb = min(batch, 64)
         res_xla = _sweep_measure(xb, min(ticks, 10), "xla", reps=1)
         per_scn_pallas = res["rt_factor"] / 1.0  # scenarios·sim-s/wall-s
         per_scn_xla = res_xla["rt_factor"]
@@ -606,20 +646,25 @@ def main():
     extras = {}
     if "--kernel-only" not in sys.argv[1:]:
         try:
-            lat_p50, lat_p99, lat_disp = _latency_measure(200)
-            extras["latency_p50_ms"] = round(lat_p50, 4)
-            extras["latency_p99_ms"] = round(lat_p99, 4)
+            c50, c99, f50, f99, lat_disp = _latency_measure(100)
+            extras["latency_ctrl_p50_ms"] = round(c50, 4)
+            extras["latency_ctrl_p99_ms"] = round(c99, 4)
+            extras["latency_with_plant_p99_ms"] = round(f99, 4)
             extras["latency_per_dispatch_p50_ms"] = round(lat_disp, 3)
             print(
-                f"latency: device-resident per-400Hz-tick p50={lat_p50:.4f} "
-                f"p99={lat_p99:.4f} ms (budget 2.5 ms)",
+                f"latency: controller-only p50={c50:.4f} p99={c99:.4f} ms "
+                f"(budget 2.5 ms); with articulated plant p99={f99:.4f} ms",
                 file=sys.stderr,
             )
         except Exception as e:  # pragma: no cover — keep the artifact
             print(f"latency extra failed: {e!r}", file=sys.stderr)
         try:
             sweep_backend = "pallas" if use_pallas else "xla"
-            sw = _sweep_measure(batch, 50, sweep_backend, reps=2)
+            # small-footprint sweep for the per-round artifact: the
+            # full-scale number comes from `bench.py --sweep 4096`
+            # (compiling the 4096-wide loop twice would blow the
+            # driver's wall-clock budget; batch 1024 compiles in ~3 min)
+            sw = _sweep_measure(min(batch, 1024), 20, sweep_backend, reps=1)
             extras["sweep_robots_realtime"] = round(sw["rt_factor"], 1)
             extras["sweep_upright_frac"] = sw["upright_frac"]
             extras["sweep_qp_backend"] = sw["backend"]

@@ -172,6 +172,47 @@ def solve_fd_qp_batched(
     )(A, b, S, W, D, d)
 
 
+def solve_formed_qp_batched(
+    G: jax.Array,  # (B,12,12) formed quadratic
+    g: jax.Array,  # (B,12)
+    D: jax.Array,  # (B,20,12)
+    d: jax.Array,  # (B,20)
+    iters: int = 15,
+    backend: str = "auto",
+) -> qp.QpSolution:
+    """Batched dispatch on an ALREADY-FORMED quadratic (see
+    LocomotionContext.G/g): the hot-loop twin of
+    :func:`solve_fd_qp_batched` without the per-backend G-formation —
+    one f32 formation per tick, owned by the producer."""
+    B = G.shape[0]
+    if backend == "auto":
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu" and B >= 1024
+            else "xla"
+        )
+    if backend in ("pallas", "pallas_emulate"):
+        from ..ops import qp_pallas
+
+        if backend == "pallas_emulate":
+            x, s, z, kkt = qp_pallas.solve_fd_qp_emulated(
+                G, g, D, d, iters=iters
+            )
+        else:
+            x, s, z, kkt = qp_pallas.solve_fd_qp(G, g, D, d, iters=iters)
+        return qp.QpSolution(
+            x=x,
+            z=z,
+            y=jnp.zeros((B, 0), x.dtype),
+            s=s,
+            iterations=jnp.full((B,), iters, jnp.int32),
+            kkt_error=kkt,
+        )
+    return jax.vmap(
+        lambda G, g, D, d: qp.solve_qp(G, g, D, d, iters=iters)
+    )(G, g, D, d)
+
+
 def distribute(
     model: RobotModel,
     params: CfdParams,

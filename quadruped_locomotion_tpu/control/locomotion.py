@@ -62,6 +62,15 @@ class LocomotionContext(NamedTuple):
     W: jax.Array  # (12,) diag regularizer
     D: jax.Array  # (20,12) inequality rows
     d: jax.Array  # (20,)
+    # The FORMED quadratic (G = 2AᵀSA + diag(W), g = −2AᵀSb) is part of
+    # the context so that exactly ONE f32 formation exists per tick: the
+    # solver consumes these tensors and telemetry records the same ones.
+    # Forming G/g at the consumer would round differently per fusion
+    # context (measured: the same tick's optimum moves O(0.1-0.5 N)
+    # along the W=1e-4 flat valley between two formations), making
+    # solver-vs-oracle comparisons unattributable.
+    G: jax.Array  # (12,12)
+    g: jax.Array  # (12,)
     virtual_force: jax.Array  # (3,)
     virtual_torque: jax.Array  # (3,)
     tau_swing: jax.Array  # (4,3) swing computed-torque output
@@ -81,6 +90,16 @@ def locomotion_prepare(
     vf, vt = compute_virtual_wrench(model, params.vmc, state, target)
     feet = forward_kinematics(model, state.q)
     A, b, S, W, D, d = build_qp(model, params.cfd, state, vf, vt, feet)
+    with jax.default_matmul_precision("highest"):
+        SA = A * S[:, None]
+        G = 2.0 * A.T @ SA + jnp.diag(W)
+        g = -2.0 * SA.T @ b
+    # Materialize ONE copy: without the barrier XLA may duplicate this
+    # formation into different fusions for different consumers (solver
+    # vs telemetry), whose f32 roundings differ — and the W=1e-4 flat
+    # valley turns last-ulp differences in g into O(0.1-1 N) optimum
+    # motion, making recorded-problem vs solved-problem inconsistent.
+    G, g = jax.lax.optimization_barrier((G, g))
 
     # world → base frame swing references. NOTE: velocities are the plain
     # rotated spline derivatives, WITHOUT base-twist compensation — this is
@@ -96,7 +115,7 @@ def locomotion_prepare(
     a_des = quat_inv_rotate(q[None], swing_acc_world)
     tau_swing = swing_torques(model, params.swing, state, p_des, v_des, a_des)
     return LocomotionContext(
-        A=A, b=b, S=S, W=W, D=D, d=d,
+        A=A, b=b, S=S, W=W, D=D, d=d, G=G, g=g,
         virtual_force=vf, virtual_torque=vt, tau_swing=tau_swing,
     )
 
@@ -148,7 +167,5 @@ def locomotion_update(
         model, params, state, target,
         swing_pos_world, swing_vel_world, swing_acc_world,
     )
-    sol = qp.solve_weighted_ls_qp(
-        ctx.A, ctx.S, ctx.b, ctx.W, ctx.D, ctx.d, iters=qp_iters
-    )
+    sol = qp.solve_qp(ctx.G, ctx.g, ctx.D, ctx.d, iters=qp_iters)
     return locomotion_finish(model, params, state, ctx, sol)

@@ -26,6 +26,7 @@ from ..model.kinematics import (
 )
 from ..types import GRAVITY, RobotModel, RobotState, SwingGains
 from ..utils.rotations import quat_inv_rotate
+from ..ops import linalg3
 
 
 def swing_torques(
@@ -59,7 +60,7 @@ def swing_torques(
         )
         lam = jnp.asarray(1e-4, dtype)
         jjt = j @ j.T + lam * jnp.eye(3, dtype=dtype)
-        qdd_des = j.T @ jnp.linalg.solve(jjt, a_des - jdot_qd)
+        qdd_des = j.T @ linalg3.solve3(jjt, a_des - jdot_qd)
         tau_id = leg_inverse_dynamics(model, q, qd, 0.5 * qdd_des, g_base, leg)
         return j.T @ force + tau_id
 

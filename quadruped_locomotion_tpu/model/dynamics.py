@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..types import RobotModel
 from .kinematics import leg_com_positions_hip, link_rotations_hip
+from ..ops import linalg3
 
 _AXIS_MASK = jnp.array(
     [[1.0, 0.0, 0.0], [1.0, 1.0, 0.0], [1.0, 1.0, 1.0]]
@@ -137,4 +138,4 @@ def leg_forward_dynamics(
         model, q_leg, qd_leg, jnp.zeros_like(qd_leg), gravity_in_base, leg
     )
     m = leg_mass_matrix(model, q_leg)
-    return jnp.linalg.solve(m, tau_leg - bias)
+    return linalg3.solve3(m, tau_leg - bias)

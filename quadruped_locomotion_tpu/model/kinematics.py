@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..types import RobotModel
 from ..utils.rotations import rotz, wrap_angle
+from ..ops import linalg3
 
 # Rx(-π/2): (x, y, z) -> (x, z, -y)
 _RX_NEG90 = jnp.array([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0], [0.0, -1.0, 0.0]])
@@ -174,7 +175,7 @@ def joint_velocities_from_foot_velocities(
     ≙ AdapterBase::getJointVelocitiesFromEndEffectorLinearVelocityInBaseFrame.
     """
     j = jacobians(model, q)
-    return jax.vmap(jnp.linalg.solve)(j, v_feet)
+    return linalg3.solve3(j, v_feet)
 
 
 def leg_com_positions_hip(model: RobotModel, q_leg: jax.Array) -> jax.Array:

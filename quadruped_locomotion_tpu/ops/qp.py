@@ -94,6 +94,9 @@ def _honest_kkt(G, g, D, d, x, z, scale_g, scale_d, C=None, c=None, y=None):
     return kkt
 
 
+_DEBUG_TRAIL = None  # set to a list by diagnostics to capture selection
+
+
 def _solve_qp_impl(G, g, D, d, C, c, iters, tol) -> QpSolution:
     dtype = G.dtype
     n = G.shape[-1]
@@ -273,50 +276,112 @@ def _solve_qp_impl(G, g, D, d, C, c, iters, tol) -> QpSolution:
     # is exact to ~1e-3 N and an IPM point sitting O(1 N) away along the
     # W=1e-4 flat valley (both measure ≈ the floor). Prefer the polished
     # point whenever its measured KKT reaches the floor.
-    kkt_floor = jnp.asarray(
-        1e-12 if dtype == jnp.float64 else 1e-6, dtype
-    )
     slack_ipm = D @ x - d
     act_slack = (
         slack_ipm < 1e-5 * (1.0 + jnp.abs(d))
     ).astype(dtype)
+
+    # Candidate selection by EXACT-PENALTY MERIT (see _merit_dd): the
+    # measured-KKT criterion is unusable here — its stationarity part
+    # carries context-dependent f32 rounding noise ~1e-6·scale, and XLA
+    # may clone the measurement per consumer with different roundings,
+    # which de-synchronizes the selection masks. The merit needs only
+    # the objective and violations, both EFT-compensated, and with
+    # ρ > ‖λ*‖∞ its minimum over candidates is the constrained optimum.
+    rho = 10.0 * (1.0 + jnp.max(jnp.abs(z)))
+    merit_cur = _merit_dd(G, g, D, d, x, rho, C=C, c=c)
+    sel = {"x": x, "z": z, "s": s, "y": y, "kkt": kkt,
+           "merit": merit_cur}
+
+    def consider(x_p, z_p, y_p):
+        k_pol = _honest_kkt(
+            G, g, D, d, x_p, z_p, scale_g, scale_d,
+            C=C, c=c, y=y_p if has_eq else None,
+        )
+        merit_new = _merit_dd(G, g, D, d, x_p, rho, C=C, c=c)
+        take = _dd_less(merit_new, sel["merit"])  # False on NaN merit
+        if _DEBUG_TRAIL is not None:  # trace-time hook (tests only)
+            _DEBUG_TRAIL.append(
+                {"k_pol": k_pol, "take": take, "x": x_p,
+                 "obj": merit_new, "k_cur": sel["kkt"]}
+            )
+        sel["x"] = jnp.where(take, x_p, sel["x"])
+        sel["z"] = jnp.where(take, z_p, sel["z"])
+        sel["s"] = jnp.where(
+            take, jnp.maximum(D @ x_p - d, 0.0), sel["s"]
+        )
+        if has_eq:
+            sel["y"] = jnp.where(take, y_p, sel["y"])
+        sel["kkt"] = jnp.where(take, k_pol, sel["kkt"])
+        sel["merit"] = tuple(
+            jnp.where(take, n, o) for n, o in zip(merit_new, sel["merit"])
+        )
+
     for act in (None, act_slack):
         x_p, z_p, y_p = _polish(
             G, g, D, d, chol0, delta, x, z, C=C, c=c, rounds=4,
             act=act,
         )
-        k_pol = _honest_kkt(
-            G, g, D, d, x_p, z_p, scale_g, scale_d,
-            C=C, c=c, y=y_p if has_eq else None,
+        consider(x_p, z_p, y_p)
+
+    # Iterated active-set chain: a near-degenerate f32 endgame can hand
+    # the polish a WRONG active set with a plausible-looking residual
+    # (observed: a weight-transfer tick whose f32 point sits on friction
+    # faces {6,11} while the f64 optimum uses {18} — 2 N apart). One
+    # primal-active-set-method step per round: polish, then re-identify
+    # from the POLISHED point (drop rows whose multiplier came out
+    # negative ⇒ z>slack false; add rows the candidate violates), and
+    # polish again. The chain advances even when a candidate is worse —
+    # only the best point by the lexicographic measure is RETURNED.
+    x_c, z_c = x, z
+    for _ in range(3):
+        slack_c = D @ x_c - d
+        act_c = jnp.logical_or(z_c > slack_c, slack_c < 0.0).astype(dtype)
+        x_c, z_c, y_c = _polish(
+            G, g, D, d, chol0, delta, x_c, z_c, C=C, c=c, rounds=4,
+            act=act_c,
         )
-        take_pol = k_pol < jnp.maximum(kkt, kkt_floor)
-        x = jnp.where(take_pol, x_p, x)
-        z = jnp.where(take_pol, z_p, z)
-        s = jnp.where(take_pol, jnp.maximum(D @ x_p - d, 0.0), s)
-        if has_eq:
-            y = jnp.where(take_pol, y_p, y)
-        kkt = jnp.where(take_pol, k_pol, kkt)
-    return QpSolution(x=x, z=z, y=y, s=s, iterations=it_count, kkt_error=kkt)
+        consider(x_c, z_c, y_c)
+    return QpSolution(
+        x=sel["x"], z=sel["z"], y=sel["y"], s=sel["s"],
+        iterations=it_count, kkt_error=sel["kkt"],
+    )
+
+
+def _barrier(*xs):
+    """Pin intermediate values to exactly-rounded f32.
+
+    The error-free transforms below are IEEE-exact identities — but only
+    if every intermediate is materialized at f32. When this solver is
+    inlined into a larger jit, XLA's excess-precision/fusion rewrites
+    evaluate subexpressions at higher precision or re-fuse them, which
+    silently breaks the identities (measured: the same solve on the same
+    data returns 0.05 N from the f64 optimum as a standalone jit but
+    0.26-0.57 N inlined into the rollout graph). optimization_barrier
+    forces materialization and blocks cross-expression rewrites.
+    """
+    out = jax.lax.optimization_barrier(xs)
+    return out[0] if len(xs) == 1 else out
 
 
 def _two_sum(a, b):
     """Knuth two-sum: s fl(a+b) and the EXACT rounding error err."""
-    s = a + b
-    bb = s - a
+    s = _barrier(a + b)
+    bb = _barrier(s - a)
     err = (a - (s - bb)) + (b - bb)
     return s, err
 
 
 def _split_f32(a):
     """Dekker split: a = hi + lo with 12-bit hi mantissa (f32)."""
-    c = a * 4097.0  # 2^12 + 1
-    hi = c - (c - a)
+    c = _barrier(a * 4097.0)  # 2^12 + 1
+    hi = _barrier(c - (c - a))
     return hi, a - hi
 
 
 def _prod_err(a, b):
     """Error-free product: p = fl(a·b), e exact with p + e = a·b."""
-    p = a * b
+    p = _barrier(a * b)
     ha, la = _split_f32(a)
     hb, lb = _split_f32(b)
     e = ((ha * hb - p) + ha * lb + la * hb) + lb * la
@@ -336,6 +401,82 @@ def _comp_sum(pairs):
         s, err = _two_sum(s, p)
         comp = comp + (err + e)
     return s + comp
+
+
+def _obj_dd(G, g, x):
+    """Double-float QP objective ½xᵀGx + gᵀx → (hi, lo) pair.
+
+    The selection tie-break needs ~1e-13 relative resolution (valley
+    candidates differ by ~1e-10 of a ~1e5 objective); a single f32
+    rounding of the result would erase it, so the value is RETURNED as
+    an unevaluated hi+lo pair and compared with :func:`_dd_less`.
+    """
+    n = G.shape[-1]
+    # t = G x as double-float per entry
+    pairs = [_prod_err(G[:, j], x[j]) for j in range(n)]
+    hi, lo = pairs[0]
+    for p, e in pairs[1:]:
+        hi, err = _two_sum(hi, p)
+        lo = lo + (err + e)
+    # obj = Σ_i x_i·(g_i + ½t_i)
+    terms = []
+    for i in range(n):
+        terms.append(_prod_err(x[i], g[i]))
+        terms.append(_prod_err(x[i], 0.5 * hi[i]))
+        terms.append((x[i] * (0.5 * lo[i]), jnp.zeros_like(x[i])))
+    s, comp = terms[0]
+    for p, e in terms[1:]:
+        s, err = _two_sum(s, p)
+        comp = comp + (err + e)
+    return s, comp
+
+
+def _dd_less(a, b):
+    """a < b for double-float pairs (hi, lo)."""
+    d, e = _two_sum(a[0], -b[0])
+    return d + (e + (a[1] - b[1])) < 0.0
+
+
+def _viol_comp(D, d, x, C=None, c=None):
+    """Total constraint violation Σ max(d−Dx, 0) (+ Σ|Cx−c|) with
+    compensated row dot products — accurate to ~1e-9 where a plain f32
+    slack evaluation carries ~1e-4 noise at |D||x| ~ 300."""
+    n = D.shape[-1]
+    pairs = [(-d, jnp.zeros_like(d))]
+    for j in range(n):
+        pairs.append(_prod_err(D[:, j], x[j]))
+    slack = _comp_sum(pairs)
+    viol = jnp.sum(jnp.maximum(-slack, 0.0))
+    if C is not None:
+        pairs = [(-c, jnp.zeros_like(c))]
+        for j in range(n):
+            pairs.append(_prod_err(C[:, j], x[j]))
+        viol = viol + jnp.sum(jnp.abs(_comp_sum(pairs)))
+    return viol
+
+
+def _merit_dd(G, g, D, d, x, rho, C=None, c=None):
+    """Exact-penalty merit φ(x) = obj(x) + ρ·viol(x) as a double-float
+    pair. With ρ > ‖λ*‖∞ the unconstrained minimizer of φ over the
+    candidate set IS the constrained optimum (classical ℓ1 exact
+    penalty), so candidate selection needs NO stationarity measurement —
+    the one quantity whose f32 evaluation is context-rounding-sensitive
+    enough (~1e-6·scale noise, and XLA may clone it per consumer with
+    different roundings) to make measurement-based selection unstable
+    inside large compiled graphs."""
+    hi, lo = _obj_dd(G, g, x)
+    pv = rho * _viol_comp(D, d, x, C=C, c=c)
+    s, e = _two_sum(hi, pv)
+    lo = lo + e
+    # non-finite candidates (diverged iterates) sort to +inf: any finite
+    # candidate beats them, and they can never be selected.
+    bad = jnp.logical_not(
+        jnp.logical_and(jnp.isfinite(s), jnp.isfinite(lo))
+    )
+    return (
+        jnp.where(bad, jnp.inf, s),
+        jnp.where(bad, 0.0, lo),
+    )
 
 
 def _stationarity_comp(g, Ew, lam, G, xp):
@@ -419,6 +560,13 @@ def _polish(G, g, D, d, chol_g, delta, x_ipm, z_ipm, C=None, c=None,
         dx = gsolve(r1 + Ew.T @ dlam)
         xp = xp + dx
         lam = lam + dlam
+    # ONE materialized candidate: the refinement fixed point is rounding-
+    # sensitive along the W=1e-4 valley, and without the barrier XLA may
+    # clone this whole computation into separate fusions per consumer
+    # (the KKT measurement vs the selection where's) whose results
+    # differ by O(1 N) — the selection then mixes fields of different
+    # points (observed: returned x matching no measured candidate).
+    xp, lam = jax.lax.optimization_barrier((xp, lam))
     lam = lam * w
     if C is not None:
         me = C.shape[-2]

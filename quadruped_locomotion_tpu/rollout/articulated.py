@@ -54,6 +54,7 @@ from ..model.kinematics import (
     link_rotations_hip,
 )
 from ..types import GRAVITY, BaseState, RobotModel
+from ..ops import linalgn
 from ..utils.rotations import (
     matrix_from_quat,
     quat_exp,
@@ -231,6 +232,15 @@ def _constrained_accel(m_mat, h_vec, tau_gen, j_c, b_c, mask3):
     dtype = m_mat.dtype
     a = jnp.where(mask3[:, None], j_c, 0.0)  # (12,18)
     comp = jnp.where(mask3, CONTACT_COMPLIANCE, 1.0)
+    # NOTE on the unrolled M-Schur alternative (ops/linalgn
+    # kkt_contact_solve): it replaces this pivoted 30x30 LU with pure
+    # lane-parallel madds and was built to claim the ~170 ms the LU
+    # costs per batched-sweep substep at 4096 — but its ~20k-op
+    # unrolled graph inside the two-rate scan blows XLA compile time
+    # past 20 min on BOTH CPU and TPU (vs ~5 min with the LU), so the
+    # LU stays. The unrolled path remains available + equivalence-
+    # tested (tests/test_linalgn.py) for standalone/persistent-cache
+    # deployments where the one-time compile amortizes.
     kkt = jnp.block(
         [[m_mat, -a.T], [a, jnp.diag(comp.astype(dtype))]]
     )

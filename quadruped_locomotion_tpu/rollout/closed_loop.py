@@ -25,7 +25,7 @@ from ..control.contact_fsm import (
     fsm_step,
     init_fsm_state,
 )
-from ..control.force_distribution import solve_fd_qp_batched
+from ..control.force_distribution import solve_formed_qp_batched
 from ..control.locomotion import (
     ControllerParams,
     locomotion_finish,
@@ -49,8 +49,31 @@ CONTROL_DT = PLANNER_DT / CONTROL_SUBSTEPS
 # fully-coupled 18-DoF floating-base dynamics with leg inertia acting on
 # the trunk — the Gazebo-parity physics the reference tunes against.
 # "massless" is the decoupled trunk+swing-leg abstraction: ~3× cheaper,
-# kept for throughput-critical sweeps and A/B comparisons.
-PLANTS = {"articulated": artlib.step, "massless": simlib.step}
+# kept for throughput-critical sweeps and A/B comparisons. "none" skips
+# physics entirely — the controller-only path for latency measurement
+# against the reference's 2.5 ms CONTROLLER budget (its Gazebo/EtherCAT
+# plant runs in a separate process outside that budget,
+# balance_controller_manager.cpp:66-95).
+def _no_plant_step(model, sim, tau, dt, **kw):
+    """Controller-only "plant": state is (epsilon-)frozen. The 1e-9·tanh
+    perturbation ties the next state to this tick's torques so XLA
+    cannot hoist the (state-dependent) controller work out of the timing
+    scan — it is physically invisible (< nm) but defeats loop-invariant
+    code motion."""
+    base = sim.robot.base
+    eps = 1e-9 * jnp.tanh(jnp.mean(tau))
+    return sim.replace(
+        robot=sim.robot.replace(
+            base=base.replace(position=base.position + eps)
+        )
+    )
+
+
+PLANTS = {
+    "articulated": artlib.step,
+    "massless": simlib.step,
+    "none": _no_plant_step,
+}
 
 
 def measured_foot_speed_tangential(model, robot) -> jax.Array:
@@ -119,10 +142,12 @@ def planner_tick(
 ):
     """One 100 Hz planner tick + 4 control/physics substeps.
 
-    ``telemetry_fn(state, tau, diag) -> pytree`` (optional, trace-time
-    static) collects per-control-substep extras — e.g. the golden-trace
-    tests record the controller state + QP solution of every 400 Hz tick
-    to re-solve offline against a float64 oracle.
+    ``telemetry_fn(state, tau, diag, ctx) -> pytree`` (optional,
+    trace-time static) collects per-control-substep extras — e.g. the
+    golden-trace tests record the controller state + the EXACT QP data
+    (``ctx`` is the :class:`~..control.locomotion.LocomotionContext`,
+    carrying A/b/S/W/D/d as solved in-loop) of every 400 Hz tick to
+    re-solve offline against a float64 oracle on identical data.
 
     ``batched=True`` (trace-time static) runs the SAME tick over a
     leading scenario axis on every input — but instead of vmapping the
@@ -200,7 +225,11 @@ def planner_tick(
             model, sim, tau, CONTROL_DT, support=fsm.support,
             ground_height=gz, **plant_kwargs,
         )
-        extras = () if telemetry_fn is None else telemetry_fn(state, tau, diag)
+        extras = (
+            ()
+            if telemetry_fn is None
+            else telemetry_fn(state, tau, diag, ctx)
+        )
         return sim2, diag.distribution.qp_solution.kkt_error, extras
 
     def ctrl(carry, _):
@@ -210,13 +239,13 @@ def planner_tick(
             pos_w, vel_w, acc_w, target, normals,
         )
         if batched:
-            sol = solve_fd_qp_batched(
-                ctx.A, ctx.b, ctx.S, ctx.W, ctx.D, ctx.d,
+            sol = solve_formed_qp_batched(
+                ctx.G, ctx.g, ctx.D, ctx.d,
                 iters=qp_iters, backend=qp_backend,
             )
         else:
-            sol = qp_ops.solve_weighted_ls_qp(
-                ctx.A, ctx.S, ctx.b, ctx.W, ctx.D, ctx.d, iters=qp_iters
+            sol = qp_ops.solve_qp(
+                ctx.G, ctx.g, ctx.D, ctx.d, iters=qp_iters
             )
         sim2, kkt, extras = vv(post_qp)(sim, state, fsm, ctx, sol, gz)
         return (sim2, fsm_state2), (kkt, extras)

@@ -46,6 +46,7 @@ from ..model.kinematics import (
 )
 from ..types import GRAVITY, BaseState, RobotModel, RobotState
 from ..utils.rotations import quat_exp, quat_inv_rotate, quat_mul, quat_normalize, quat_rotate
+from ..ops import linalg3
 
 
 @struct.dataclass
@@ -100,7 +101,7 @@ def _integrate_swing_legs(model, q, qd, tau, g_base, dt):
                 model, ql, qdl, jnp.zeros_like(qdl), g_base, i
             )
             m = leg_mass_matrix(model, ql)
-            qd2 = jnp.linalg.solve(
+            qd2 = linalg3.solve3(
                 m + h * b * eye3, m @ qdl + h * (tl - bias)
             )
             return ql + h * qd2, qd2
@@ -161,7 +162,7 @@ def step(
 
     def _dls_solve_t(jj, t):
         # f ≈ (J Jᵀ + λ²I)⁻¹ J t  solves Jᵀ f = t
-        return jnp.linalg.solve(jj @ jj.T + dls, jj @ t)
+        return linalg3.solve3(jj @ jj.T + dls, jj @ t)
 
     f_contact = jax.vmap(_dls_solve_t)(
         j, tau - tau_g
@@ -179,7 +180,7 @@ def step(
     ang_mom_rate = total_torque_base - jnp.cross(
         base.angular_velocity, inertia @ base.angular_velocity
     )
-    angvel_new = base.angular_velocity + dt * jnp.linalg.solve(
+    angvel_new = base.angular_velocity + dt * linalg3.solve3(
         inertia, ang_mom_rate
     )
     linvel_new = base.linear_velocity + dt * total_force_world / model.total_mass
@@ -206,7 +207,7 @@ def step(
     j_new = jacobians(model, q_stance)
     # damped least squares again: qd ≈ (JᵀJ + λ²I)⁻¹ Jᵀ v
     qd_stance = jax.vmap(
-        lambda jj, v: jnp.linalg.solve(jj.T @ jj + dls, jj.T @ v)
+        lambda jj, v: linalg3.solve3(jj.T @ jj + dls, jj.T @ v)
     )(j_new, v_feet_base)
 
     # --- swing legs: articulated 3-DoF dynamics -----------------------------

@@ -40,17 +40,62 @@ def _kkt_residual(G, g, D, d, x, tol_act=1e-6):
     return max(np.abs(grad).max(), np.abs(prim).max())
 
 
-def oracle_weighted_ls(A, S, b, W, D, d, x_feas):
-    """min (Ax−b)ᵀS(Ax−b)+xᵀWx s.t. Dx ≥ d, solved in float64.
+def _active_set_finish(G, g, D, d, x0, iters=10):
+    """Exact float64 finish: a tiny primal active-set method from x0.
 
-    The result is accepted only after an explicit KKT check — scipy's
-    status flags alone are not trusted.
+    scipy's tolerances leave O(1e-3·scale) stationarity error, which the
+    W=1e-4 flat valley amplifies to O(1 N) solution wander — at that
+    point the "oracle" is noisier than the solver under test. From the
+    near-solution x0, solve the equality-constrained KKT on the active
+    set EXACTLY (numpy f64), dropping negative-multiplier rows and
+    adding violated rows until clean: machine-precision optimum.
     """
-    A, S, b, W, D, d, x_feas = (
-        np.asarray(v, np.float64) for v in (A, S, b, W, D, d, x_feas)
+    m = D.shape[0]
+    act = (D @ x0 - d) < 1e-6 * (1.0 + np.abs(d))
+    for _ in range(iters):
+        Da = D[act]
+        na = Da.shape[0]
+        kkt = np.block(
+            [[G, -Da.T], [Da, np.zeros((na, na))]]
+        )
+        rhs = np.concatenate([-g, d[act]])
+        try:
+            sol = np.linalg.solve(kkt, rhs)
+        except np.linalg.LinAlgError:
+            # redundant active rows: least-squares KKT
+            sol, *_ = np.linalg.lstsq(kkt, rhs, rcond=None)
+        x = sol[: G.shape[0]]
+        lam = sol[G.shape[0]:]
+        slack = D @ x - d
+        neg = np.zeros(m, bool)
+        neg[np.where(act)[0]] = lam < -1e-12
+        viol = (~act) & (slack < -1e-10 * (1.0 + np.abs(d)))
+        if not neg.any() and not viol.any():
+            return x
+        act = (act & ~neg) | viol
+    return x0  # did not converge — keep scipy's answer
+
+
+def oracle_weighted_ls(A, S, b, W, D, d, x_feas):
+    """min (Ax−b)ᵀS(Ax−b)+xᵀWx s.t. Dx ≥ d, solved in float64."""
+    A, S, b, W, D, d = (
+        np.asarray(v, np.float64) for v in (A, S, b, W, D, d)
     )
     G = 2.0 * A.T @ (S[:, None] * A) + np.diag(W)
     g = -2.0 * A.T @ (S * b)
+    return oracle_formed_qp(G, g, D, d, x_feas)
+
+
+def oracle_formed_qp(G, g, D, d, x_feas):
+    """min ½xᵀGx + gᵀx s.t. Dx ≥ d, solved in float64.
+
+    The result is accepted only after an explicit KKT check — scipy's
+    status flags alone are not trusted — and then driven to machine
+    precision by an exact active-set finish (see _active_set_finish).
+    """
+    G, g, D, d, x_feas = (
+        np.asarray(v, np.float64) for v in (G, g, D, d, x_feas)
+    )
     scale = max(1.0, np.abs(g).max())
 
     def try_slsqp(x0):
@@ -72,7 +117,7 @@ def oracle_weighted_ls(A, S, b, W, D, d, x_feas):
         if k < best_kkt:
             best, best_kkt = x, k
         if best_kkt < 1e-6 * scale:
-            return best
+            return _active_set_finish(G, g, D, d, best)
     # fall back to trust-constr for the stubborn ticks
     res = optimize.minimize(
         lambda x: (0.5 * x @ G @ x + g @ x) / scale,
@@ -87,7 +132,7 @@ def oracle_weighted_ls(A, S, b, W, D, d, x_feas):
     if k < best_kkt:
         best, best_kkt = res.x, k
     assert best_kkt < 1e-4 * scale, best_kkt
-    return best
+    return _active_set_finish(G, g, D, d, best)
 
 
 @pytest.fixture(scope="module")
@@ -110,13 +155,20 @@ def trot_trace():
         yaw_rate=jnp.asarray(0.0),
     )
 
-    def telemetry_fn(state, tau, diag):
+    def telemetry_fn(state, tau, diag, ctx):
         return {
             "state": state,
             "tau": tau,
             "grf": diag.distribution.ground_reaction,
-            "vf": diag.virtual_force,
-            "vt": diag.virtual_torque,
+            # the EXACT problem the in-loop solver saw (f32): the oracle
+            # must solve the SAME formed quadratic — re-forming G/g
+            # (even from the same A,S,b) rounds differently per fusion
+            # context, and the W=1e-4 flat valley turns that ~1e-3
+            # perturbation of g into ~0.1-0.5 N of optimum motion that
+            # would be falsely charged to the solver. One formation per
+            # tick lives in LocomotionContext (locomotion_prepare).
+            "G": ctx.G, "g": ctx.g, "D": ctx.D, "d": ctx.d,
+            "A": ctx.A, "b": ctx.b,
         }
 
     warm = 45  # half a gait cycle of settle-in
@@ -137,7 +189,7 @@ def test_full_trot_cycle_matches_float64_oracle(trot_trace):
     states = ex["state"]
     n_plan, n_sub = states.q.shape[:2]
 
-    force_errs, tau_errs, n_checked = [], [], 0
+    force_errs, tau_errs, wrench_errs, n_checked = [], [], [], 0
     for i in range(n_plan):
         for k in range(n_sub):
             st = jax.tree_util.tree_map(lambda v: v[i, k], states)
@@ -145,24 +197,26 @@ def test_full_trot_cycle_matches_float64_oracle(trot_trace):
             if support.sum() < 2:
                 continue
             grf_ours = np.asarray(ex["grf"][i, k])
-            # True float64 rebuild of the tick's QP: x64 enabled locally
-            # so the oracle sees the same data at full precision.
-            with jax.enable_x64(True):
-                vf = jnp.asarray(np.asarray(ex["vf"][i, k], np.float64))
-                vt = jnp.asarray(np.asarray(ex["vt"][i, k], np.float64))
-                st64 = jax.tree_util.tree_map(
-                    lambda v: jnp.asarray(np.asarray(v, np.float64))
-                    if jnp.issubdtype(v.dtype, jnp.floating) else v,
-                    st,
-                )
-                A, b, S, W, D, d = build_qp(model, params.cfd, st64, vf, vt)
-                assert A.dtype == jnp.float64
-            x_ref = oracle_weighted_ls(
-                A, S, b, W, D, d, grf_ours.reshape(12)
+            # The oracle solves the EXACT QP the in-loop solver saw
+            # (recorded f32 data upcast losslessly to f64); see the
+            # telemetry_fn comment for why.
+            G, g, D, d = (
+                np.asarray(ex[kk][i, k], np.float64)
+                for kk in ("G", "g", "D", "d")
             )
+            x_ref = oracle_formed_qp(G, g, D, d, grf_ours.reshape(12))
             grf_ref = x_ref.reshape(4, 3) * support[:, None]
             force_errs.append(
                 np.abs(grf_ours - grf_ref)[support.astype(bool)].max()
+            )
+            # realized-wrench discrepancy: the trunk wrench A·x is what
+            # the balance loop actually commands; the W=1e-4 flat-valley
+            # per-leg ambiguity is (by construction) wrench-invariant,
+            # so this gate is TIGHT even where per-leg forces carry the
+            # f32 conditioning bound.
+            A = np.asarray(ex["A"][i, k], np.float64)
+            wrench_errs.append(
+                np.abs(A @ (grf_ours.reshape(12) - x_ref)).max()
             )
 
             # joint-torque agreement: map the oracle forces through our
@@ -171,6 +225,11 @@ def test_full_trot_cycle_matches_float64_oracle(trot_trace):
                 stance_torques,
             )
             with jax.enable_x64(True):
+                st64 = jax.tree_util.tree_map(
+                    lambda v: jnp.asarray(np.asarray(v, np.float64))
+                    if jnp.issubdtype(v.dtype, jnp.floating) else v,
+                    st,
+                )
                 tau_ref = np.asarray(
                     stance_torques(
                         model, st64, jnp.asarray(np.asarray(-grf_ref))
@@ -189,18 +248,27 @@ def test_full_trot_cycle_matches_float64_oracle(trot_trace):
 
     force_errs = np.asarray(force_errs)
     tau_errs = np.asarray(tau_errs)
+    wrench_errs = np.asarray(wrench_errs)
     assert n_checked >= 300, n_checked  # ≈ full cycle at 400 Hz
 
-    # Scale context: stance normal forces are ~130 N (two-leg trot stance
-    # carrying 27 kg). Median ticks must agree to sub-0.1 N / sub-0.1 N·m;
-    # worst degenerate ticks (weight transfer instants, flat directions
-    # under the 1e-4 regularizer) to single-digit N.
-    assert np.median(force_errs) < 0.1, np.median(force_errs)
+    # Scale context: stance normal forces are ~130 N (two-leg trot
+    # stance carrying 27 kg). The oracle solves the IDENTICAL formed
+    # f32 QP in f64 to machine precision (exact active-set finish).
+    # Typical ticks agree to ~1e-5 N; the tail is bounded by the f32
+    # flat-valley conditioning of the problem DATA (W = 1e-4 ⇒
+    # κ(G) ≈ 4e5: last-ulp effects move the valley optimum O(0.1-1 N);
+    # our own IPM run in f64 on the same data matches the oracle to
+    # 2e-5, pinning the tail on data precision, not the solver). The
+    # realized trunk WRENCH — the physically commanded quantity, to
+    # which the valley is invariant by construction — is gated tight.
+    assert np.median(force_errs) < 0.01, np.median(force_errs)
     assert np.percentile(force_errs, 95) < 1.0, np.percentile(force_errs, 95)
-    assert force_errs.max() < 8.0, force_errs.max()
-    assert np.median(tau_errs) < 0.1, np.median(tau_errs)
-    assert np.percentile(tau_errs, 95) < 1.0, np.percentile(tau_errs, 95)
-    assert tau_errs.max() < 8.0, tau_errs.max()
+    assert force_errs.max() < 2.5, force_errs.max()
+    assert np.median(tau_errs) < 0.01, np.median(tau_errs)
+    assert np.percentile(tau_errs, 95) < 0.5, np.percentile(tau_errs, 95)
+    assert tau_errs.max() < 1.5, tau_errs.max()
+    assert np.median(wrench_errs) < 1e-3, np.median(wrench_errs)
+    assert wrench_errs.max() < 0.1, wrench_errs.max()
 
 
 def test_trace_has_full_cycle_support_pattern(trot_trace):
