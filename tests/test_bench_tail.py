@@ -59,11 +59,38 @@ def test_tail_exists_and_is_constraint_bound(solved_batch):
 
 def test_tail_matches_float64_oracle(solved_batch):
     A, b, S, W, D, d, sol, wrench_err = solved_batch
-    _, active_frac, gap_max = bench.tail_proof(
+    _, active_frac, gap_max, proven = bench.tail_proof(
         A, b, S, W, D, d, sol.x, wrench_err, max_oracle=16
     )
     assert active_frac == 1.0
     assert gap_max is not None and gap_max < 5e-3, gap_max
+    assert proven
+
+
+def test_tail_proof_trips_on_seeded_suboptimal_tail(solved_batch):
+    """Seeded regression (VERDICT r4 item 2): a truly suboptimal tail
+    instance must still trip the proof. Scaling a near-optimal solution
+    by 1.4 keeps it strictly feasible (every rhs entry is ≥ 0 for stance
+    rows, ≤ -1 relaxed for swing rows with zeroed D, so D(λx) ≥ λd ≥ d)
+    but leaves ~0.4·|b| of wrench error on the table — an inactive-slack
+    tail instance that is NOT at the optimum. The oracle re-solve must
+    find the gap and return proven=False."""
+    A, b, S, W, D, d, sol, wrench_err = solved_batch
+    x_bad = np.asarray(sol.x).copy()
+    # pick a healthy (non-tail) instance and corrupt it
+    i = int(np.argmin(wrench_err))
+    x_bad[i] *= 1.4
+    realized = np.einsum("bij,bj->bi", np.asarray(A, np.float64), x_bad)
+    err_bad = np.abs(realized - np.asarray(b, np.float64)).max(axis=-1)
+    assert err_bad[i] > 1.0, "seed failed to create a tail instance"
+    slack_i = np.asarray(D, np.float64)[i] @ x_bad[i] - np.asarray(
+        d, np.float64
+    )[i]
+    assert slack_i.min() >= 1e-3, "seed must be an inactive-slack suspect"
+    _, _, _, proven = bench.tail_proof(
+        A, b, S, W, D, d, x_bad, err_bad, max_oracle=8
+    )
+    assert not proven
 
 
 def test_bench_json_gates_tail_fields():
