@@ -333,14 +333,114 @@ def latency_main(n_ticks: int = 400):
     )
 
 
+def build_scenarios(batch: int, seed: int = 0):
+    """BASELINE config-5 scenario batch: terrain × gait × velocity.
+
+    * **gait** — 75% trot (reference 0.45/0.45 s timing), 25% pace
+      (0.5/1.5 s, the reference's slow gait); per-scenario
+      :class:`GaitParams` + init tables via ``init_locomotion_mixed``.
+    * **terrain** — 75% random smooth heightfields (cubic-upsampled
+      noise, ±3 cm bumps ramping in beyond a flat spawn zone so
+      ``default_stance_state`` stays valid; footholds are snapped by the
+      traversability search and surface normals tilt the friction
+      pyramids), 25% flat maps.
+    * **velocity** — vx ∈ [-0.1, 0.4] (trot) / [0, 0.15] (pace),
+      vy ± 0.1 / ± 0.05, yaw rate ± 0.3 / ± 0.15 rad/s.
+
+    Returns (ls0 batch, commands, per-scenario GaitParams, per-scenario
+    Heightfield, axes description string).
+    """
+    from quadruped_locomotion_tpu.gait import phase as phase_mod
+    from quadruped_locomotion_tpu.gait.phase import GaitParams
+    from quadruped_locomotion_tpu.rollout import closed_loop as cl
+    from quadruped_locomotion_tpu.terrain.heightfield import Heightfield
+    from quadruped_locomotion_tpu.types import RobotModel
+
+    model = RobotModel.simpledog()
+    rng = np.random.default_rng(seed)
+
+    # --- gait axis: deterministic 3:1 trot/pace interleave ------------
+    is_pace = (np.arange(batch) % 4) == 3
+    mask = jnp.asarray(is_pace)
+    gp_trot = GaitParams.trot_defaults()
+    gp_pace = GaitParams.pace_defaults()
+
+    def sel(a, b):
+        a = jnp.broadcast_to(a, (batch,) + a.shape)
+        b = jnp.broadcast_to(b, (batch,) + b.shape)
+        m = mask.reshape((batch,) + (1,) * (a.ndim - 1))
+        return jnp.where(m, b, a)
+
+    gp_b = jax.tree_util.tree_map(sel, gp_trot, gp_pace)
+    gait_type = np.where(is_pace, phase_mod.PACE, phase_mod.TROT)
+    ls0 = cl.init_locomotion_mixed(model, gp_b, gait_type)
+
+    # --- velocity axis (pace capped to its slow-gait envelope) --------
+    vx = np.where(
+        is_pace,
+        rng.uniform(0.0, 0.15, batch),
+        rng.uniform(-0.1, 0.4, batch),
+    )
+    vy = np.where(
+        is_pace,
+        rng.uniform(-0.05, 0.05, batch),
+        rng.uniform(-0.1, 0.1, batch),
+    )
+    wz = np.where(
+        is_pace,
+        rng.uniform(-0.15, 0.15, batch),
+        rng.uniform(-0.3, 0.3, batch),
+    )
+    cmds = cl.Command(
+        linear_velocity=jnp.asarray(
+            np.stack([vx, vy, np.zeros(batch)], axis=1), jnp.float32
+        ),
+        yaw_rate=jnp.asarray(wz, jnp.float32),
+    )
+
+    # --- terrain axis: per-scenario heightfields ----------------------
+    H = W = 48
+    res, extent = 0.1, 2.4
+    coarse = jnp.asarray(
+        rng.normal(size=(batch, 8, 8)), jnp.float32
+    )
+    rough = jax.image.resize(coarse, (batch, H, W), method="cubic")
+    amp = np.where(
+        (np.arange(batch) % 4) == 2,  # 25% flat scenarios
+        0.0,
+        rng.uniform(0.01, 0.03, batch),
+    ).astype(np.float32)
+    # flat spawn zone (covers the stance feet at init) ramping to full
+    # bumps within +0.25 m — scenarios walk onto the terrain
+    xs = -extent + np.arange(W) * res
+    gx, gy = np.meshgrid(xs, xs, indexing="xy")
+    box = np.maximum(np.abs(gx) / 0.65, np.abs(gy) / 0.45)
+    ramp = jnp.asarray(
+        np.clip((box - 1.0) / 0.4, 0.0, 1.0), jnp.float32
+    )
+    height = rough * amp[:, None, None] * ramp[None, :, :]
+    hf_b = jax.vmap(
+        lambda h: Heightfield.from_height_array(
+            h, origin=(-extent, -extent), resolution=res
+        )
+    )(height)
+    axes = (
+        "terrain(75% heightfields ±3cm, 25% flat) x "
+        "gait(75% trot 0.45/0.45, 25% pace 0.5/1.5) x "
+        "velocity(vx -0.1..0.4, vy ±0.1, yaw ±0.3)"
+    )
+    return ls0, cmds, gp_b, hf_b, axes
+
+
 def _sweep_measure(
     batch: int, ticks: int, qp_backend: str, reps: int = 3, chunk: int = 10
 ):
     """Time the FULL closed loop (gait engine + executor outputs +
-    contact FSM + VMC + QP + torque map + plant) over `batch` command
-    scenarios with the batched in-loop QP dispatch (`qp_backend` selects
-    the solver that runs INSIDE each 400 Hz control substep — the
-    product hot path, ≙ ContactForceDistribution.cpp:490).
+    contact FSM + VMC + QP + torque map + plant) over `batch` config-5
+    scenarios (terrain × gait × velocity, see :func:`build_scenarios`)
+    with the batched in-loop QP dispatch (`qp_backend` selects the
+    solver that runs INSIDE each 400 Hz control substep — the product
+    hot path, ≙ ContactForceDistribution.cpp:490).
 
     Dispatched in ``chunk``-tick segments: a single device execution of
     100 ticks × 4096 scenarios runs ~90 s, past the sandbox tunnel's
@@ -348,32 +448,12 @@ def _sweep_measure(
     resident on-device between segments (host sync only per segment, as
     in the latency bench)."""
     from quadruped_locomotion_tpu.control.locomotion import ControllerParams
-    from quadruped_locomotion_tpu.gait.phase import GaitParams
     from quadruped_locomotion_tpu.rollout import closed_loop as cl
     from quadruped_locomotion_tpu.types import RobotModel
 
     model = RobotModel.simpledog()
     params = ControllerParams.defaults()
-    gp = GaitParams.trot_defaults()
-    ls0 = cl.init_locomotion(model, gp)
-    ls_b = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), ls0
-    )
-    rng = np.random.default_rng(0)
-    cmds = cl.Command(
-        linear_velocity=jnp.asarray(
-            np.stack(
-                [
-                    rng.uniform(-0.1, 0.4, batch),
-                    rng.uniform(-0.1, 0.1, batch),
-                    np.zeros(batch),
-                ],
-                axis=1,
-            ),
-            jnp.float32,
-        ),
-        yaw_rate=jnp.asarray(rng.uniform(-0.3, 0.3, batch), jnp.float32),
-    )
+    ls_b, cmds, gp_b, hf_b, axes = build_scenarios(batch)
 
     n_chunks = max(ticks // chunk, 1)
     print(
@@ -384,8 +464,9 @@ def _sweep_measure(
     @jax.jit
     def sweep(ls):
         return cl.rollout(
-            model, params, gp, ls, cmds, chunk,
+            model, params, gp_b, ls, cmds, chunk,
             batched=True, qp_backend=qp_backend,
+            terrain=hf_b, terrain_batched=True, gait_params_batched=True,
         )
 
     def run(ls):
@@ -406,7 +487,14 @@ def _sweep_measure(
     rt_factor = sim_seconds / dt_wall
     base = np.asarray(tel["base_position"])  # (T, B, 3)
     finite = bool(np.isfinite(base).all())
-    upright = float((base[-1, :, 2] > 0.25).mean())
+    # upright relative to the LOCAL ground under the base (terrain
+    # scenarios walk onto ±3 cm bumps)
+    gz = np.asarray(
+        jax.vmap(lambda hf, xy: hf.height_at(xy))(
+            hf_b, jnp.asarray(base[-1, :, :2])
+        )
+    )
+    upright = float((base[-1, :, 2] - gz > 0.25).mean())
     kkt = np.asarray(tel["qp_kkt"])
     return {
         "rt_factor": rt_factor,
@@ -417,6 +505,7 @@ def _sweep_measure(
         "backend": qp_backend,
         "batch": batch,
         "ticks": n_chunks * chunk,
+        "scenario_axes": axes,
     }
 
 
@@ -472,6 +561,9 @@ def sweep_main(batch: int = 1024, ticks: int = 100):
                 "vs_baseline": round(res["rt_factor"] / 1.0, 1),
                 "upright_frac": res["upright_frac"],
                 "qp_backend": res["backend"],
+                "sweep_batch": res["batch"],
+                "sweep_ticks": res["ticks"],
+                "scenario_axes": res["scenario_axes"],
                 "pallas_vs_xla_speedup": None
                 if speedup is None
                 else round(speedup, 2),

@@ -33,10 +33,24 @@ def balance_update(
     state: RobotState,
     target: BaseTarget,
     qp_iters: int = 20,
+    warm: tuple[jax.Array, jax.Array] | None = None,
+    polish: str = "full",
 ):
-    """One balance-controller tick → (stance torques (4,3), diagnostics)."""
+    """One balance-controller tick → (stance torques (4,3), diagnostics).
+
+    ``warm`` = previous tick's (x, z) QP iterates and ``polish="light"``
+    are the 400 Hz host-loop configuration: consecutive ticks solve
+    near-identical QPs, so a warm 8-iteration solve reaches the KKT
+    quality of a cold 15-20 (measured in test_balance.py) at roughly
+    half the host latency — the lever that holds the reference's 2.5 ms
+    budget on a shared-core host (≙ OOQP's warm-startable IPM inside
+    ``ContactForceDistribution.cpp:490``).
+    """
     vf, vt = compute_virtual_wrench(model, vmc_gains, state, target)
-    dist = distribute(model, cfd_params, state, vf, vt, iters=qp_iters)
+    dist = distribute(
+        model, cfd_params, state, vf, vt, iters=qp_iters, warm=warm,
+        polish=polish,
+    )
     tau = stance_torques(model, state, dist.contact_forces)
     tau = jnp.clip(tau, -model.torque_limit, model.torque_limit)
     return tau, BalanceDiagnostics(

@@ -123,6 +123,8 @@ def solve_fd_qp_batched(
     d: jax.Array,  # (B,20)
     iters: int = 15,
     backend: str = "auto",
+    load_factors: jax.Array | None = None,  # (B,4)
+    support: jax.Array | None = None,  # (B,4) bool, required w/ factors
 ) -> qp.QpSolution:
     """ONE solver dispatch for a whole batch of force-distribution QPs.
 
@@ -142,6 +144,16 @@ def solve_fd_qp_batched(
     Both backends implement the same fixed-iteration Mehrotra IPM +
     active-set polish and agree to float32 tolerance (gated by
     ``tests/test_qp_pallas.py`` and the in-loop equivalence test).
+
+    ``load_factors`` (+ ``support``) engages the reference's leg-load
+    double solve (``ContactForceDistribution.cpp:338-383``) by
+    ELIMINATION, exactly as :func:`distribute` does per-scenario:
+    stance legs with factor < 1 are pinned to factor × (first solution),
+    their wrench moves to the right-hand side, their columns/rows are
+    masked out, and the batch is re-dispatched — both solves stay on
+    whichever kernel backend was selected (the kernel is inequality-only
+    by design; elimination needs no equality rows, so the Pallas path
+    keeps the hot loop even with load factors engaged).
     """
     B = A.shape[0]
     if backend == "auto":
@@ -150,26 +162,52 @@ def solve_fd_qp_batched(
             if jax.default_backend() == "tpu" and B >= 1024
             else "xla"
         )
+
     if backend in ("pallas", "pallas_emulate"):
         from ..ops import qp_pallas
 
-        x, s, z, kkt = qp_pallas.solve_weighted_ls_fd_qp(
-            A, S, b, W, D, d, iters=iters,
-            emulate=(backend == "pallas_emulate"),
-        )
-        return qp.QpSolution(
-            x=x,
-            z=z,
-            y=jnp.zeros((B, 0), x.dtype),
-            s=s,
-            iterations=jnp.full((B,), iters, jnp.int32),
-            kkt_error=kkt,
-        )
-    return jax.vmap(
-        lambda A, b, S, W, D, d: qp.solve_weighted_ls_qp(
-            A, S, b, W, D, d, iters=iters
-        )
-    )(A, b, S, W, D, d)
+        def dispatch(A, b, D, d):
+            x, s, z, kkt = qp_pallas.solve_weighted_ls_fd_qp(
+                A, S, b, W, D, d, iters=iters,
+                emulate=(backend == "pallas_emulate"),
+            )
+            return qp.QpSolution(
+                x=x,
+                z=z,
+                y=jnp.zeros((B, 0), x.dtype),
+                s=s,
+                iterations=jnp.full((B,), iters, jnp.int32),
+                kkt_error=kkt,
+            )
+    else:
+        def dispatch(A, b, D, d):
+            return jax.vmap(
+                lambda A, b, S, W, D, d: qp.solve_weighted_ls_qp(
+                    A, S, b, W, D, d, iters=iters
+                )
+            )(A, b, S, W, D, d)
+
+    sol = dispatch(A, b, D, d)
+    if load_factors is None:
+        return sol
+    assert support is not None, "load_factors requires the support mask"
+
+    # Eliminated second solve (≙ :338-383, same math as `distribute`).
+    dtype = sol.x.dtype
+    lf = jnp.asarray(load_factors, dtype)
+    pinned = support & (lf < 1.0)  # (B,4)
+    pin12 = jnp.repeat(pinned, 3, axis=-1)  # (B,12)
+    x_pin = jnp.where(pin12, sol.x * jnp.repeat(lf, 3, axis=-1), 0.0)
+    b2 = b - jnp.einsum("bij,bj->bi", A, x_pin)
+    keep12 = (~pin12).astype(dtype)
+    A2 = A * keep12[:, None, :]
+    D2 = D * keep12[:, None, :]
+    rows = jnp.repeat(pinned, 5, axis=-1)  # (B,20) pinned legs' rows
+    D2 = D2 * (~rows).astype(dtype)[:, :, None]
+    d2 = jnp.where(rows, -1.0, d)
+    sol2 = dispatch(A2, b2, D2, d2)
+    x2 = sol2.x * jnp.repeat((support & ~pinned).astype(dtype), 3, axis=-1)
+    return sol2._replace(x=jnp.where(pin12, x_pin, x2))
 
 
 def solve_formed_qp_batched(
@@ -222,19 +260,27 @@ def distribute(
     feet_in_base: jax.Array | None = None,
     iters: int = 20,
     load_factors: jax.Array | None = None,
+    warm: tuple[jax.Array, jax.Array] | None = None,
+    polish: str = "full",
 ) -> ForceDistributionResult:
     """≙ ``ContactForceDistribution::computeForceDistribution`` (:99-136).
 
     ``load_factors`` (4,) engages the double-solve leg-unloading path
     (:338-383): stance legs with factor < 1 are re-pinned to
     factor × (first solution) and the remaining legs re-optimized.
+
+    ``warm``/``polish`` are the realtime-loop levers passed to the
+    solver (see :func:`~..ops.qp.solve_qp`): warm-start from the
+    previous tick's (x, z) and a lighter polish chain.
     """
     if feet_in_base is None:
         feet_in_base = forward_kinematics(model, state.q)
     A, b, S, W, D, d = build_qp(
         model, params, state, virtual_force, virtual_torque, feet_in_base
     )
-    sol = qp.solve_weighted_ls_qp(A, S, b, W, D, d, iters=iters)
+    sol = qp.solve_weighted_ls_qp(
+        A, S, b, W, D, d, iters=iters, warm=warm, polish=polish
+    )
     x = sol.x * jnp.repeat(state.support.astype(sol.x.dtype), 3)
 
     if load_factors is not None:

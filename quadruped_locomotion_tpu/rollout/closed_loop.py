@@ -139,6 +139,8 @@ def planner_tick(
     friction_mu: float | None = None,
     batched: bool = False,
     qp_backend: str = "xla",
+    gait_params_batched: bool = False,
+    terrain_batched: bool = False,
 ):
     """One 100 Hz planner tick + 4 control/physics substeps.
 
@@ -157,31 +159,48 @@ def planner_tick(
     "pallas"``/"auto" sends the entire batch to the lane-tiled TPU
     kernel in a single call — the QP inside the hot loop, matching the
     role of ``ContactForceDistribution.cpp:490``.
-    """
-    vv = jax.vmap if batched else (lambda f: f)
 
-    gait2, support, (pos_w, vel_w, acc_w), target, normals = vv(
-        lambda gait, robot, feet, lin, yaw: gg.advance(
-            model, gait, robot, feet, gait_params, lin, yaw, PLANNER_DT,
-            terrain=terrain,
+    ``gait_params_batched``/``terrain_batched`` (trace-time static,
+    require ``batched=True``): the scenario axis may also vary the GAIT
+    (``gait_params`` leaves carry a leading batch axis — e.g. a
+    trot/pace mix, see :func:`init_locomotion_mixed`) and the TERRAIN
+    (``terrain`` is a :class:`~..terrain.heightfield.Heightfield` whose
+    leaves carry a leading batch axis — one map per scenario). This is
+    the BASELINE config-5 scenario surface: terrain × gait × velocity.
+    """
+    gp_ax = 0 if gait_params_batched else None
+    tr_ax = 0 if (terrain is not None and terrain_batched) else None
+
+    def _adv(gait, robot, feet, lin, yaw, gp, tr):
+        return gg.advance(
+            model, gait, robot, feet, gp, lin, yaw, PLANNER_DT, terrain=tr
         )
-    )(
+
+    if batched:
+        adv = jax.vmap(_adv, in_axes=(0, 0, 0, 0, 0, gp_ax, tr_ax))
+    else:
+        adv = _adv
+    gait2, support, (pos_w, vel_w, acc_w), target, normals = adv(
         ls.gait,
         ls.sim.robot,
         ls.sim.feet_world,
         command.linear_velocity,
         command.yaw_rate,
+        gait_params,
+        terrain,
     )
 
     # Normalized gait phases for the FSM thresholds (the reference's
     # sw_phase/st_phase ∈ [0,1] from the gait client, :1103-1132).
-    sw_norm = gait2.phase.swing_phase / jnp.maximum(gait_params.t_swing, 1e-6)
-    st_norm = gait2.phase.stance_phase / jnp.maximum(
-        gait_params.t_stance, 1e-6
-    )
+    t_sw = jnp.asarray(gait_params.t_swing)
+    t_st = jnp.asarray(gait_params.t_stance)
+    if batched and gait_params_batched:
+        t_sw, t_st = t_sw[:, None], t_st[:, None]
+    sw_norm = gait2.phase.swing_phase / jnp.maximum(t_sw, 1e-6)
+    st_norm = gait2.phase.stance_phase / jnp.maximum(t_st, 1e-6)
 
     def pre_qp(sim, fsm_state, support, sw_norm, st_norm, pos_w, vel_w,
-               acc_w, target, normals):
+               acc_w, target, normals, tr):
         # Per-leg contact FSM with memory: reconcile the gait's desired
         # support with measured contact every control tick (≙
         # ros_balance_controller :233-380, :1086-1140), then apply
@@ -189,7 +208,7 @@ def planner_tick(
         if terrain is None:
             gz = jnp.zeros(4, sim.feet_world.dtype)
         else:
-            gz = jax.vmap(terrain.height_at)(sim.feet_world[:, :2])
+            gz = jax.vmap(tr.height_at)(sim.feet_world[:, :2])
         contact = simlib.contact_sensor(sim, ground_height=gz)
         fsm_state2, fsm = fsm_step(
             fsm_state, support, contact, sw_norm, st_norm, sim.robot.q,
@@ -232,11 +251,18 @@ def planner_tick(
         )
         return sim2, diag.distribution.qp_solution.kkt_error, extras
 
+    if batched:
+        pre = jax.vmap(pre_qp, in_axes=(0,) * 10 + (tr_ax,))
+        vv = jax.vmap
+    else:
+        pre = pre_qp
+        vv = lambda f: f
+
     def ctrl(carry, _):
         sim, fsm_state = carry
-        fsm_state2, fsm, state, ctx, gz = vv(pre_qp)(
+        fsm_state2, fsm, state, ctx, gz = pre(
             sim, fsm_state, support, sw_norm, st_norm,
-            pos_w, vel_w, acc_w, target, normals,
+            pos_w, vel_w, acc_w, target, normals, terrain,
         )
         if batched:
             sol = solve_formed_qp_batched(
@@ -261,6 +287,37 @@ def planner_tick(
     return out, (kkt_out, extras)
 
 
+def init_locomotion_mixed(
+    model: RobotModel,
+    gait_params: GaitParams,  # leaves with leading (B,) scenario axis
+    gait_type: jax.Array,  # (B,) int32 — phase.TROT / phase.PACE
+    height: float | None = None,
+) -> LocomotionState:
+    """Per-scenario gait init for mixed-gait scenario batches (BASELINE
+    config 5): each scenario gets its own :class:`GaitParams` (e.g. a
+    trot/pace timing mix) and its own init table, where-selected so the
+    whole batch stays one fixed-shape pytree."""
+    from ..gait import phase as phase_mod
+
+    gait_type = jnp.asarray(gait_type, jnp.int32)
+
+    def one(gp, gt):
+        h = gp.height if height is None else height
+        sim = simlib.default_stance_state(model, height=h)
+        gs_trot = gg.init_gait_state(phase_mod.TROT, gp, sim.feet_world)
+        gs_pace = gg.init_gait_state(phase_mod.PACE, gp, sim.feet_world)
+        gait = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(gt == phase_mod.PACE, b, a),
+            gs_trot,
+            gs_pace,
+        )
+        return LocomotionState(
+            sim=sim, gait=gait, fsm=init_fsm_state(sim.feet_world.dtype)
+        )
+
+    return jax.vmap(one)(gait_params, gait_type)
+
+
 def rollout(
     model: RobotModel,
     params: ControllerParams,
@@ -275,12 +332,16 @@ def rollout(
     friction_mu: float | None = None,
     batched: bool = False,
     qp_backend: str = "xla",
+    gait_params_batched: bool = False,
+    terrain_batched: bool = False,
 ):
     """Full closed-loop rollout. Returns (final state, per-tick telemetry).
 
     ``batched=True``: every input carries a leading scenario axis and
     each control substep dispatches ONE batched QP solve (see
     :func:`planner_tick`); telemetry leaves are then (T, B, ...).
+    ``gait_params_batched``/``terrain_batched`` extend the scenario axis
+    to per-scenario gaits and heightfields (see :func:`planner_tick`).
     """
 
     def tick(ls, _):
@@ -288,6 +349,8 @@ def rollout(
             model, params, gait_params, ls, command, qp_iters=qp_iters,
             terrain=terrain, telemetry_fn=telemetry_fn, plant=plant,
             friction_mu=friction_mu, batched=batched, qp_backend=qp_backend,
+            gait_params_batched=gait_params_batched,
+            terrain_batched=terrain_batched,
         )
         kkt = tick_out if telemetry_fn is None else tick_out[0]
         telemetry = {

@@ -134,38 +134,72 @@ class SimHardware(HardwareInterface):
             jnp.ones(4, bool) if support is None else jnp.asarray(support)
         )
         self._estop = False
-        self._step = jax.jit(
-            lambda sim, tau, support: simlib.step(
-                model, sim, tau, dt, support=support
+        self._vec: np.ndarray | None = None  # packed-sample cache
+
+        # ONE fused jitted dispatch per bus tick: plant step + contact
+        # sensor + sample packing on-device, a single (55,) host
+        # transfer — instead of a jitted step plus ~10 eager ops and
+        # per-field device→host copies per tick (the r4 bus measured
+        # 374 Hz vs 400 nominal; the eager read path was most of the
+        # overrun).
+        def _step_pack(sim, tau, support):
+            sim2 = simlib.step(model, sim, tau, dt, support=support)
+            contacts = simlib.contact_sensor(sim2)
+            r = sim2.robot
+            f32 = jnp.float32
+            vec = jnp.concatenate(
+                [
+                    r.base.position.astype(f32),
+                    r.base.quaternion.astype(f32),
+                    r.base.linear_velocity.astype(f32),
+                    r.base.angular_velocity.astype(f32),
+                    r.q.reshape(12).astype(f32),
+                    r.qd.reshape(12).astype(f32),
+                    r.tau.reshape(12).astype(f32),
+                    contacts.astype(f32),
+                    jnp.zeros(1, f32),  # e-stop latched host-side
+                    sim2.time.reshape(1).astype(f32),
+                ]
             )
-        )
+            return sim2, vec
+
+        self._step = jax.jit(_step_pack)
 
     def set_support(self, support) -> None:
         self._support = jnp.asarray(support)
 
+    def read_packed(self) -> np.ndarray:
+        """The (SAMPLE_FLOATS,) wire vector of the current state — the
+        bus hot path (no unpack/repack round trip)."""
+        if self._vec is None:
+            contacts = np.asarray(simlib.contact_sensor(self.sim))
+            r = self.sim.robot
+            self._vec = RobotSample(
+                base_position=np.asarray(r.base.position),
+                base_quaternion=np.asarray(r.base.quaternion),
+                base_linear_velocity=np.asarray(r.base.linear_velocity),
+                base_angular_velocity=np.asarray(r.base.angular_velocity),
+                q=np.asarray(r.q),
+                qd=np.asarray(r.qd),
+                tau=np.asarray(r.tau),
+                contacts=contacts,
+                estop=False,
+                time=float(self.sim.time),
+            ).pack()
+        vec = self._vec.copy()
+        vec[53] = 1.0 if self._estop else 0.0
+        return vec
+
     def read(self) -> RobotSample:
-        sim = self.sim
-        contacts = np.asarray(simlib.contact_sensor(sim))
-        r = sim.robot
-        return RobotSample(
-            base_position=np.asarray(r.base.position),
-            base_quaternion=np.asarray(r.base.quaternion),
-            base_linear_velocity=np.asarray(r.base.linear_velocity),
-            base_angular_velocity=np.asarray(r.base.angular_velocity),
-            q=np.asarray(r.q),
-            qd=np.asarray(r.qd),
-            tau=np.asarray(r.tau),
-            contacts=contacts,
-            estop=self._estop,
-            time=float(sim.time),
-        )
+        return RobotSample.unpack(self.read_packed())
 
     def write(self, tau: np.ndarray, mode: int = 0) -> None:
         if self._estop:
             tau = np.zeros_like(np.asarray(tau))
-        self.sim = self._step(
+        self.sim, vec = self._step(
             self.sim, jnp.asarray(tau, jnp.float32), self._support
         )
+        self._vec = np.asarray(vec)
 
     def estop(self) -> None:
         self._estop = True
@@ -184,6 +218,8 @@ class ShmHardware(HardwareInterface):
         self._estop = False
         self._last = None
         self._last_idx = -1
+        self._last_t: float | None = None
+        self._period = 0.0  # EWMA inter-sample period (s)
 
     @classmethod
     def connect(cls, prefix: str = "/qlt"):
@@ -206,15 +242,37 @@ class ShmHardware(HardwareInterface):
         """Latest robot sample. With ``sync`` (default), blocks until a
         sample newer than the previously returned one arrives — the bus
         process is the clock, exactly like the reference controller
-        running off the EtherCAT cycle."""
+        running off the EtherCAT cycle.
+
+        The wait is two-phase: one coarse sleep sized from the measured
+        inter-sample period (EWMA) up to just short of the next expected
+        arrival, then a fine 100 µs poll — a fixed 200 µs poll loop
+        costs ~12 scheduler wakeups per 2.5 ms cycle, each a chance for
+        the OS to run the poller instead of the bus on a shared core."""
         import time as _time
 
-        deadline = _time.monotonic() + timeout
+        now = _time.monotonic()
+        deadline = now + timeout
+        if self.sync and self._last_t is not None and self._period > 0:
+            target = self._last_t + 0.85 * self._period
+            coarse = min(target, deadline) - now - 0.0003
+            if coarse > 0.0002:
+                _time.sleep(coarse)
         while True:
             got = self.state_ring.pop_latest(SAMPLE_FLOATS)
             if got is not None:
                 idx, vec = got
                 if not self.sync or idx > self._last_idx:
+                    now = _time.monotonic()
+                    if self._last_t is not None and idx == self._last_idx + 1:
+                        dt = now - self._last_t
+                        if 0.0 < dt < 0.1:
+                            self._period = (
+                                dt
+                                if self._period == 0.0
+                                else 0.9 * self._period + 0.1 * dt
+                            )
+                    self._last_t = now
                     self._last_idx = idx
                     self._last = RobotSample.unpack(vec)
                     return self._last
@@ -222,7 +280,7 @@ class ShmHardware(HardwareInterface):
                 if self._last is None:
                     raise TimeoutError("no robot state published yet")
                 return self._last  # bus stalled: reuse latest
-            _time.sleep(0.0002)
+            _time.sleep(0.0001)
 
     def write(self, tau: np.ndarray, mode: int = 0) -> None:
         self.cmd_ring.push(pack_command(tau, mode, self._estop))

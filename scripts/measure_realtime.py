@@ -18,6 +18,13 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# single-threaded math: intra-op pools only add cross-core wakeups
+# that preempt the bus process on a 2-core box
+os.environ["OMP_NUM_THREADS"] = "1"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_cpu_multi_thread_eigen=false"
+).strip()
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -182,3 +182,80 @@ def test_load_factor_double_solve(setup):
     np.testing.assert_allclose(
         np.asarray(res3.ground_reaction), g1, atol=1e-4
     )
+
+
+def test_batched_leg_load_elimination_matches_distribute(setup):
+    """VERDICT r4 stretch item: engaging load factors in a BATCHED
+    rollout keeps the kernel backend. The batched eliminated double
+    solve (solve_fd_qp_batched(load_factors=...)) must agree with the
+    per-scenario `distribute(load_factors=...)` reference, and the
+    pallas_emulate backend (exact kernel trace) must agree with XLA."""
+    model, gains, cfd, sim, target = setup
+    vf, vt = compute_virtual_wrench(model, gains, sim.robot, target)
+
+    B = 4
+    rng = np.random.default_rng(7)
+    noise = jnp.asarray(rng.uniform(-0.02, 0.02, size=(B, 3)), jnp.float32)
+
+    def build(n):
+        st = sim.robot.replace(
+            base=sim.robot.base.replace(position=sim.robot.base.position + n)
+        )
+        vfi, vti = compute_virtual_wrench(model, gains, st, target)
+        return fd.build_qp(model, cfd, st, vfi, vti)
+
+    A, b, S, W, D, d = jax.jit(jax.vmap(build))(noise)
+    lf = jnp.broadcast_to(jnp.array([1.0, 1.0, 0.5, 1.0]), (B, 4))
+    support = jnp.ones((B, 4), bool)
+
+    sol_x = fd.solve_fd_qp_batched(
+        A, b, S, W, D, d, iters=25, backend="xla",
+        load_factors=lf, support=support,
+    )
+    # reference: per-scenario distribute() with the same factors
+    def ref(n):
+        st = sim.robot.replace(
+            base=sim.robot.base.replace(position=sim.robot.base.position + n)
+        )
+        vfi, vti = compute_virtual_wrench(model, gains, st, target)
+        return fd.distribute(
+            model, cfd, st, vfi, vti, iters=25,
+            load_factors=jnp.array([1.0, 1.0, 0.5, 1.0]),
+        ).ground_reaction
+
+    grf_ref = jax.jit(jax.vmap(ref))(noise)
+    # Physical quantity (realized wrench) must agree tightly; raw forces
+    # get a looser gate — the W=1e-4 regularizer leaves a flat valley in
+    # which different float32 lowerings land ~1 N apart on ~100 N
+    # solutions with equal objective (same policy as the dryrun gates).
+    An = np.asarray(A, np.float64)
+    w_batched = np.einsum("bij,bj->bi", An, np.asarray(sol_x.x))
+    w_ref = np.einsum(
+        "bij,bj->bi", An, np.asarray(grf_ref).reshape(B, 12)
+    )
+    np.testing.assert_allclose(w_batched, w_ref, atol=0.5)
+    np.testing.assert_allclose(
+        np.asarray(sol_x.x).reshape(B, 4, 3), np.asarray(grf_ref), atol=2.0
+    )
+    # pinned leg carries exactly factor x its own first-solve force
+    sol_1 = fd.solve_fd_qp_batched(A, b, S, W, D, d, iters=25, backend="xla")
+    np.testing.assert_allclose(
+        np.asarray(sol_x.x[:, 6:9]),
+        0.5 * np.asarray(sol_1.x[:, 6:9]),
+        atol=1e-3,
+    )
+    # kernel-trace backend agreement on the doubled solve
+    sol_em = fd.solve_fd_qp_batched(
+        A, b, S, W, D, d, iters=25, backend="pallas_emulate",
+        load_factors=lf, support=support,
+    )
+    realized_x = np.einsum(
+        "bij,bj->bi", np.asarray(A, np.float64), np.asarray(sol_x.x)
+    )
+    realized_em = np.einsum(
+        "bij,bj->bi", np.asarray(A, np.float64), np.asarray(sol_em.x)
+    )
+    np.testing.assert_allclose(realized_em, realized_x, atol=0.5)
+    np.testing.assert_allclose(
+        np.asarray(sol_em.x), np.asarray(sol_x.x), atol=1.0
+    )
