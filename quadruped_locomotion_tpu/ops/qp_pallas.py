@@ -22,8 +22,13 @@ trace time (static shapes); the IPM iterations run in a
 The math mirrors ``ops/qp.py``'s fixed-iteration Mehrotra
 predictor-corrector exactly (same regularization, fraction-to-boundary,
 convergence freeze), so the two backends agree to float32 tolerance and
-share tests. Inequality-only (the hot path); the rare equality-
-constrained double-solve (leg-load factors) stays on the XLA path.
+share tests. Inequality-only BY DESIGN: the reference's rare
+equality-constrained double-solve (leg-load factors,
+``ContactForceDistribution.cpp:338-383``) is handled by ELIMINATION in
+the batched dispatch (``control/force_distribution.py::
+solve_fd_qp_batched(load_factors=...)`` re-dispatches the reduced
+inequality-only problem), so engaging load factors keeps this kernel in
+the hot loop — no equality rows are ever needed on-chip.
 """
 
 from __future__ import annotations
