@@ -215,6 +215,7 @@ class ShmHardware(HardwareInterface):
         self.state_ring = state_ring
         self.cmd_ring = cmd_ring
         self.sync = sync  # pace on fresh samples (the bus is the clock)
+        self.timeout = 5.0  # default read timeout (s); callers may tune
         self._estop = False
         self._last = None
         self._last_idx = -1
@@ -238,11 +239,12 @@ class ShmHardware(HardwareInterface):
         cmd = ShmRing.create(prefix + "_cmd", COMMAND_FLOATS, n_slots)
         return state, cmd
 
-    def read(self, timeout: float = 5.0) -> RobotSample:
+    def read(self, timeout: float | None = None) -> RobotSample:
         """Latest robot sample. With ``sync`` (default), blocks until a
         sample newer than the previously returned one arrives — the bus
         process is the clock, exactly like the reference controller
-        running off the EtherCAT cycle.
+        running off the EtherCAT cycle. ``timeout`` defaults to the
+        instance's ``self.timeout``.
 
         The wait is two-phase: one coarse sleep sized from the measured
         inter-sample period (EWMA) up to just short of the next expected
@@ -251,6 +253,8 @@ class ShmHardware(HardwareInterface):
         the OS to run the poller instead of the bus on a shared core."""
         import time as _time
 
+        if timeout is None:
+            timeout = self.timeout
         now = _time.monotonic()
         deadline = now + timeout
         if self.sync and self._last_t is not None and self._period > 0:

@@ -21,6 +21,7 @@ previous torques (``ros_balance_controller.cpp:418-424``).
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Callable
 
 import jax
@@ -55,6 +56,23 @@ def _robot_state_from_sample(sample: RobotSample, support) -> RobotState:
         tau=jnp.asarray(sample.tau),
         support=jnp.asarray(support),
     )
+
+
+@partial(jax.jit, static_argnames=("iters", "polish"))
+def _balance_vec_update(model, gains, cfd, vec, target, warm, iters, polish):
+    """Module-level jitted balance tick: every argument is a pytree, so
+    the compile cache is shared across ALL controller instances with the
+    same shapes — re-constructing a controller (e.g. a measurement
+    retry) must not pay XLA compilation again (a fresh closure-bound
+    ``jax.jit`` object forces a full retrace; measured ~6 min on the
+    2-core CI box, which blew the realtime bus's first-command window)."""
+    state = _robot_state_from_vec(vec)
+    tau, diag = balance_update(
+        model, gains, cfd, state, target,
+        qp_iters=iters, warm=warm, polish=polish,
+    )
+    sol = diag.distribution.qp_solution
+    return tau, (sol.x, sol.z)
 
 
 def _robot_state_from_vec(vec, support=None) -> RobotState:
@@ -127,24 +145,18 @@ class BalanceStandController(Controller):
         # (SAMPLE_FLOATS,) vector and the RobotState is assembled INSIDE
         # the trace: per-field ``jnp.asarray`` on the host costs ~20
         # eager dispatches per tick (~2 ms measured on a pinned core —
-        # 6× the 0.33 ms solve itself).
-        def _update(vec, target, warm, iters, polish):
-            state = _robot_state_from_vec(vec)
-            tau, diag = balance_update(
-                model, self.gains, self.cfd, state, target,
-                qp_iters=iters, warm=warm, polish=polish,
-            )
-            sol = diag.distribution.qp_solution
-            return tau, (sol.x, sol.z)
-
-        self._fn = jax.jit(
-            lambda vec, target, warm: _update(
-                vec, target, warm, qp_iters, "light"
-            )
+        # 6× the 0.33 ms solve itself). Both variants go through the
+        # module-level ``_balance_vec_update`` so XLA compiles once per
+        # process, not once per controller instance.
+        self._qp_iters = qp_iters
+        self._fn = lambda vec, target, warm: _balance_vec_update(
+            self.model, self.gains, self.cfd, vec, target, warm,
+            self._qp_iters, "light",
         )
         # cold start (first tick after a switch): full-quality solve
-        self._fn_cold = jax.jit(
-            lambda vec, target: _update(vec, target, None, 15, "full")
+        self._fn_cold = lambda vec, target: _balance_vec_update(
+            self.model, self.gains, self.cfd, vec, target, None,
+            15, "full",
         )
 
     def start(self, sample: RobotSample) -> None:

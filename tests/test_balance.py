@@ -259,3 +259,45 @@ def test_batched_leg_load_elimination_matches_distribute(setup):
     np.testing.assert_allclose(
         np.asarray(sol_em.x), np.asarray(sol_x.x), atol=1.0
     )
+
+
+def test_warm_start_light_polish_matches_cold_quality(setup):
+    """The realtime-loop solver configuration (warm-started 8-iter IPM +
+    light polish, runtime/manager.py) must reach the KKT quality and
+    torques of the cold 15-iter full-polish default on a sequence of
+    slowly-varying standing QPs — the property that makes 400 Hz hold
+    on the host (VERDICT r4 item 5)."""
+    model, gains, cfd, sim, target = setup
+
+    warm = None
+    warm_fn = jax.jit(
+        lambda s, t, w: balance_update(
+            model, gains, cfd, s, t, qp_iters=8, warm=w, polish="light"
+        )
+    )
+    cold_fn = jax.jit(
+        lambda s, t: balance_update(model, gains, cfd, s, t, qp_iters=15)
+    )
+    rng = np.random.default_rng(11)
+    state = sim.robot
+    for i in range(6):
+        # slowly-varying base position, like consecutive 2.5 ms ticks
+        state = state.replace(
+            base=state.base.replace(
+                position=state.base.position
+                + jnp.asarray(rng.uniform(-2e-3, 2e-3, 3), jnp.float32)
+            )
+        )
+        tau_w, diag_w = warm_fn(state, target, warm)
+        sol = diag_w.distribution.qp_solution
+        warm = (sol.x, sol.z)
+        tau_c, diag_c = cold_fn(state, target)
+        if i == 0:
+            continue  # first warm tick starts from None-equivalent data
+        assert float(sol.kkt_error) < 1e-5, (i, float(sol.kkt_error))
+        np.testing.assert_allclose(
+            np.asarray(tau_w), np.asarray(tau_c), atol=0.5
+        )
+        w_w = np.asarray(diag_w.distribution.virtual_wrench_realized)
+        w_c = np.asarray(diag_c.distribution.virtual_wrench_realized)
+        np.testing.assert_allclose(w_w, w_c, atol=0.5)

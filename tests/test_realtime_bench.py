@@ -21,12 +21,13 @@ from quadruped_locomotion_tpu.runtime.realtime_bench import (
 
 
 def _gates_pass(rep) -> bool:
-    """The same bounds the tests assert — used for the retry decision."""
+    """The same bounds the tests assert — used for the retry decision.
+    ``get`` defaults cover an aborted bus (its stats dict is partial)."""
     f = rep["contention"]
     return (
-        rep["bus_ticks"] > 400 / f
-        and rep["bus_rate_hz"] > 300.0 / f
-        and rep["bus_jitter_p99"] < 0.006 * f
+        rep.get("bus_ticks", 0) > 400 / f
+        and rep.get("bus_rate_hz", 0.0) > 300.0 / f
+        and rep.get("bus_jitter_p99", 1.0) < 0.006 * f
         and rep["controller_ticks"] > 250 / f
         and rep["controller_rate_hz"] > 120.0 / f
         and rep["estop_latency_s"] is not None
