@@ -268,15 +268,26 @@ def bus_main(prefix: str, rate_hz: float, max_ticks: int, stats_q) -> None:
                 break  # drained past the e-stop; enough data
 
     dt = np.diff(np.asarray(tick_times))
-    stats_q.put(
-        {
-            "bus_ticks": len(tick_times),
-            "bus_jitter_p50": float(np.percentile(np.abs(dt - period), 50)),
-            "bus_jitter_p95": float(np.percentile(np.abs(dt - period), 95)),
-            "bus_jitter_p99": float(np.percentile(np.abs(dt - period), 99)),
-            "bus_rate_hz": float(1.0 / dt.mean()),
-        }
-    )
+    if dt.size == 0:  # pragma: no cover — degenerate window
+        stats_q.put(
+            {"bus_ticks": len(tick_times), "bus_error": "too few ticks"}
+        )
+    else:
+        stats_q.put(
+            {
+                "bus_ticks": len(tick_times),
+                "bus_jitter_p50": float(
+                    np.percentile(np.abs(dt - period), 50)
+                ),
+                "bus_jitter_p95": float(
+                    np.percentile(np.abs(dt - period), 95)
+                ),
+                "bus_jitter_p99": float(
+                    np.percentile(np.abs(dt - period), 99)
+                ),
+                "bus_rate_hz": float(1.0 / dt.mean()),
+            }
+        )
     state_ring.close()
     cmd_ring.close()
 
@@ -303,6 +314,51 @@ def measure(
     estop_tick = int(estop_at_s * rate_hz)
 
     state_ring, cmd_ring = ShmHardware.create_rings(prefix)
+
+    def _cleanup_rings():
+        for ring, name in ((state_ring, "_state"), (cmd_ring, "_cmd")):
+            try:
+                ring.close()
+                ShmRing.unlink(prefix + name)
+            except Exception:
+                pass
+
+    def _restore_scheduling(orig_affinity, orig_nice):
+        try:
+            os.sched_setscheduler(0, os.SCHED_OTHER, os.sched_param(0))
+        except (OSError, AttributeError):  # pragma: no cover
+            pass
+        if orig_affinity is not None:
+            try:
+                os.sched_setaffinity(0, orig_affinity)
+            except OSError:  # pragma: no cover
+                pass
+        if orig_nice is not None:
+            try:
+                os.setpriority(os.PRIO_PROCESS, 0, orig_nice)
+            except OSError:  # pragma: no cover
+                pass
+
+    try:
+        return _measure_inner(
+            prefix, rate_hz, n_ticks, estop_tick, period,
+            state_ring, cmd_ring, _restore_scheduling,
+        )
+    finally:
+        # exception-safe: an aborted run must not leak the rings (the
+        # retry's create_rings would fail) nor a pinned/elevated
+        # scheduler into the caller (observed halving a full pytest run)
+        _cleanup_rings()
+
+
+def _measure_inner(
+    prefix, rate_hz, n_ticks, estop_tick, period,
+    state_ring, cmd_ring, _restore_scheduling,
+):
+    from ..types import RobotModel
+    from .hal import ShmHardware
+    from .manager import BalanceStandController, ControllerManager
+
     ctx = mp.get_context("spawn")
     stats_q = ctx.Queue()
     bus = ctx.Process(
@@ -351,48 +407,39 @@ def measure(
     estop_seen_t = None
     runnable_samples = []
     hw.timeout = 0.5  # bounded stale-read: bus death must not burn 5 s/tick
-    for i in range(n_ticks):
-        tick_t.append(time.perf_counter())
-        if i % 32 == 0:  # during-window contention evidence (~8 Hz)
-            runnable_samples.append(_procs_running())
-            if not bus.is_alive():  # bus died/finished: stop measuring
-                break
-        if i == estop_tick and estop_sent_t is None:
-            estop_sent_t = time.perf_counter()
-            mgr.estop()
-        sample = mgr.tick()
-        if estop_sent_t is not None and estop_seen_t is None and sample.estop:
-            estop_seen_t = time.perf_counter()
-            # measured what we came for; drain a few more ticks then stop
-            for _ in range(8):
-                mgr.tick()
-            break
-
-    gc.enable()
-    # restore normal scheduling, affinity, and priority outside the window
     try:
-        os.sched_setscheduler(0, os.SCHED_OTHER, os.sched_param(0))
-    except (OSError, AttributeError):  # pragma: no cover
-        pass
-    if orig_affinity is not None:
-        try:
-            os.sched_setaffinity(0, orig_affinity)
-        except OSError:  # pragma: no cover
-            pass
-    if orig_nice is not None:
-        try:
-            os.setpriority(os.PRIO_PROCESS, 0, orig_nice)
-        except OSError:  # pragma: no cover
-            pass
+        for i in range(n_ticks):
+            tick_t.append(time.perf_counter())
+            if i % 32 == 0:  # during-window contention evidence (~8 Hz)
+                runnable_samples.append(_procs_running())
+                if not bus.is_alive():  # bus died/finished: stop
+                    break
+            if i == estop_tick and estop_sent_t is None:
+                estop_sent_t = time.perf_counter()
+                mgr.estop()
+            sample = mgr.tick()
+            if (
+                estop_sent_t is not None
+                and estop_seen_t is None
+                and sample.estop
+            ):
+                estop_seen_t = time.perf_counter()
+                # measured what we came for; drain a few ticks then stop
+                for _ in range(8):
+                    mgr.tick()
+                break
+    finally:
+        gc.enable()
+        _restore_scheduling(orig_affinity, orig_nice)
+
     bus.join(timeout=10.0)
     bus_stats = stats_q.get(timeout=10.0)
-    for ring, name in ((state_ring, "_state"), (cmd_ring, "_cmd")):
-        ring.close()
-        ShmRing.unlink(prefix + name)
 
     dt = np.diff(np.asarray(tick_t))
     # skip the first 10 ticks (scheduler settling after compile)
     dt = dt[10:] if dt.size > 30 else dt
+    if dt.size == 0:  # pragma: no cover — degenerate window
+        dt = np.asarray([np.inf])
     report = {
         "rate_hz_nominal": rate_hz,
         "controller_ticks": len(tick_t),

@@ -44,14 +44,23 @@ def report():
     factors — a transient scheduler burst must not fail the suite, while
     a real runtime regression fails both attempts."""
     rep = None
-    for _ in range(2):
+    err = None
+    for attempt in range(2):
         f = contention_factor()
-        rep = measure(duration_s=2.0, rate_hz=400.0, prefix="/qlt_rttest")
+        try:
+            rep = measure(
+                duration_s=2.0, rate_hz=400.0, prefix="/qlt_rttest"
+            )
+        except Exception as e:  # transient (bus died under load): retry
+            err = e
+            continue
         rep["contention"] = max(
             f, contention_factor(), rep["contention_window"]
         )
         if _gates_pass(rep):
             break
+    if rep is None:
+        raise err
     return rep
 
 
