@@ -168,6 +168,13 @@ def bus_main(prefix: str, rate_hz: float, max_ticks: int, stats_q) -> None:
         except Exception:
             pass
 
+    # Persistent compile cache: the bus's plant-step compile is the slow
+    # half of every realtime measurement's setup window; cached, repeat
+    # runs (and the retry attempt) start in seconds.
+    from ..utils import cache as _cache
+
+    _cache.enable()
+
     trace = os.environ.get("QLT_RTBENCH_TRACE")
 
     def _t(msg):

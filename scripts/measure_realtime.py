@@ -32,6 +32,9 @@ jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from quadruped_locomotion_tpu.runtime.realtime_bench import measure  # noqa: E402
+from quadruped_locomotion_tpu.utils import cache as _cache  # noqa: E402
+
+_cache.enable()
 
 if __name__ == "__main__":
     duration = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
